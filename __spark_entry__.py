@@ -1,38 +1,656 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full CDC replay of a seeded change-event log
+through the emailcdc engine into a temp snapshot sink; returns the final
+snapshot table.
+
+``queries()`` — one entry per implemented operator family (SURVEY.md §2);
+each callable takes (spark, sf_dir) → DataFrame.
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents.  Payload/CDC
+queries that synthesize their own fixture input get VALUES-literal oracles
+computed by the *pure-Python* reference path (fixtures + sequential
+replay), independent of the Spark engine under test.  Genuinely
+non-SQL-expressible ops (MinHash LSH, SimHash, IVF ANN, fingerprints,
+multimodal) omit the oracle → driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import hashlib
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC replay of the seeded event log → final snapshot (sorted)."""
+    from emailcdc import schemas
+    from emailcdc.engine import CdcEngine
+    from emailcdc.fixtures import make_change_events
+    from emailcdc.sink import SnapshotParquetSink
 
+    events = make_change_events(24)
+    edf = spark.createDataFrame(events, schema=schemas.CHANGE_EVENTS)
+    root = tempfile.mkdtemp(prefix="emailcdc_entry_")
+    try:
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, root, n_buckets=8))
+        engine.replay(edf, batch_size=100_000)
+        snap = engine.table("snapshot").orderBy("repo", "path")
+        # materialize before the temp sink dir goes away
+        out = spark.createDataFrame(snap.collect(), schema=snap.schema)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# relational core (TPC-H-ish, DuckDB-oracled)
+# --------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 6)                              AS avg_qty,
+       round(avg(l_discount), 6)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def _topk_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def _setop_nations_with_both(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    c = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s).unionByName(
+        c.exceptAll(s).withColumn("nationkey", F.col("nationkey") + 1000)
+    ).orderBy("nationkey")
+
+
+_SETOP_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey FROM (
+  SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s
+  UNION ALL
+  SELECT nationkey + 1000 FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+) ORDER BY nationkey
+"""
+
+
+def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count_distinct(F.col("user_id")).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _lww_last_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC LWW-dedup operator expressed over the driver's events table:
+    last event per user by (ts, event_id) — same window the engine uses."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+_LWW_SQL = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def _address_split_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """E1 (handleEmailAddress) semantics as JVM regexp over synthesized
+    'Name <addr>' strings (AbstractJavaMailProcessor.java:118-132)."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    addr = F.concat(F.col("c_name"), F.lit(" <cust"),
+                    F.col("c_custkey").cast("string"), F.lit("@example.org>"))
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(F.regexp_extract(addr, r"^(.*?)\s*<", 1), '"', "").alias("name"),
+        F.regexp_extract(addr, r"<([^>]*)>", 1).alias("email_address"),
+    ).orderBy("c_custkey")
+
+
+_ADDR_SQL = """
+SELECT c_custkey,
+       replace(regexp_extract(c_name || ' <cust' || CAST(c_custkey AS VARCHAR)
+               || '@example.org>', '^(.*?)\\s*<', 1), '"', '') AS name,
+       regexp_extract(c_name || ' <cust' || CAST(c_custkey AS VARCHAR)
+               || '@example.org>', '<([^>]*)>', 1) AS email_address
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.dedup import exact_dup_groups
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    groups = exact_dup_groups(docs, ["text"], "doc_id")
+    return (
+        groups.agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("dup_count").alias("n_rows"),
+            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        )
+    )
+
+
+_DEDUP_SQL = """
+SELECT count(*) AS n_unique,
+       CAST(sum(dup_count) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+FROM (
+  SELECT sha256(concat_ws(chr(31), text)) AS h, count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+"""
+
+
+def _token_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.textstats import token_count
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+def _quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.textstats import quality_score, punct_ratio
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+         END AS n_tok,
+         length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g'))
+           / greatest(length(text), 1) AS praw
+  FROM documents
+)
+SELECT doc_id,
+       round(praw, 6) AS punct_ratio,
+       round((
+         least(n_tok / 64.0, 1.0)
+         + CASE WHEN (length(trim(text)) / greatest(n_tok, 1.0)) BETWEEN 3 AND 8
+                THEN 1.0 ELSE 0.5 END
+         + (1.0 - least(praw * 5, 1.0))
+       ) / 3.0, 6) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.textstats import langid
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select(langid("text").alias("lang_pred"))
+        .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.textstats import fingerprint
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.dedup import minhash_dedup
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        minhash_dedup(docs, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.dedup import simhash_chunks
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id", simhash_chunks("text").alias("simhash_chunks")
+    ).orderBy("doc_id")
+
+
+def _ngram_jaccard_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.dedup import ngram_jaccard
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("id_a")).filter("id_a < 20")
+    pairs = ids.crossJoin(
+        docs.select(F.col("doc_id").alias("id_b")).filter("id_b >= 20 AND id_b < 40")
+    )
+    return (
+        ngram_jaccard(docs, "text", "doc_id", pairs, shingle_n=3)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    vecd = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return emb.select("vec_id", F.round(norm, 4).alias("l2_norm"),
+                      F.size("embedding").alias("dim")).orderBy("vec_id")
+
+
+_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def _ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (
+        cosine_topk(emb, queries, k=5)
+        .select("query_id", "vec_id", F.round("cosine", 3).alias("cosine_r"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_SQL = """
+SELECT query_id, vec_id, round(cosine, 3) AS cosine_r, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_dot_product(q.embedding, c.embedding)
+           / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                    * sqrt(list_dot_product(c.embedding, c.embedding)), 1e-12), 6)
+           AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round(list_dot_product(q.embedding, c.embedding)
+                              / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
+                                       * sqrt(list_dot_product(c.embedding, c.embedding)), 1e-12), 6) DESC,
+                            c.vec_id) AS rank
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (
+        ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+        .select("query_id", "vec_id", F.round("cosine", 3).alias("cosine_r"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.dedup import embedding_near_dup
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (
+        embedding_near_dup(emb, "embedding", "vec_id", threshold=0.8, n_planes=6)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc.ops.multimodal import extract_features, make_media_df
+    media = make_media_df(spark, 24)
+    return (
+        extract_features(media, fake=True)
+        .select("media_id", "kind", "n_bytes", "sha256")
+        .orderBy("media_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# email-extraction payload (fixture-driven, VALUES-literal oracles)
+# --------------------------------------------------------------------------
+
+def _fixture_repo_df(spark: SparkSession):
+    from emailcdc.fixtures import make_eml, make_mbox, make_ics
+    rows = [
+        ("org0/fix", f"m/e{i}.eml", "c", "eml", make_eml(i)) for i in range(5)
+    ] + [
+        ("org0/fix", "m/big.mbox", "c", "mbox", make_mbox(213)),
+        ("org0/fix", "m/small.mbox", "c", "mbox", make_mbox(4)),
+        ("org0/fix", "m/cal.ics", "c", "ics", make_ics(2, n_events=2, n_todos=1)),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+
+def _extract_outputs(spark: SparkSession):
+    from emailcdc.udfs import extract_envelope, split_envelope
+    df = _fixture_repo_df(spark).withColumn("offset", F.monotonically_increasing_id())
+    return split_envelope(extract_envelope(df))
+
+
+def _eml_message_stats(spark: SparkSession, sf: str) -> DataFrame:
+    outs = _extract_outputs(spark)
+    return outs["messages"].select(
+        "path", "message_id", "subject",
+        F.col("sender_details.email_address").alias("sender_email"),
+        F.size("bodies").alias("n_bodies"),
+        F.size("attachments").alias("n_attachments"),
+    ).filter(F.col("path").endswith(".eml")).orderBy("path")
+
+
+def _eml_oracle_values() -> str:
+    from emailcdc.extract import parse_eml
+    from emailcdc.fixtures import make_eml
+    rows = []
+    for i in range(5):
+        m = parse_eml(make_eml(i))  # pure-Python reference path
+        rows.append(
+            f"('m/e{i}.eml', '{m['message_id']}', '{m['subject']}', "
+            f"'{m['sender_details']['email_address']}', {len(m['bodies'])}, "
+            f"{len(m['attachments'])})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") AS t(path, message_id, subject, sender_email, n_bodies, n_attachments)"
+        " ORDER BY path"
+    )
+
+
+def _mbox_message_counts(spark: SparkSession, sf: str) -> DataFrame:
+    outs = _extract_outputs(spark)
+    return (
+        outs["messages"].filter(F.col("path").endswith(".mbox"))
+        .groupBy("path").agg(F.count(F.lit(1)).alias("n_messages"))
+        .orderBy("path")
+    )
+
+
+_MBOX_ORACLE = """
+SELECT * FROM (VALUES ('m/big.mbox', CAST(213 AS BIGINT)),
+                      ('m/small.mbox', CAST(4 AS BIGINT)))
+AS t(path, n_messages) ORDER BY path
+"""
+
+
+def _ics_calendar_entries(spark: SparkSession, sf: str) -> DataFrame:
+    outs = _extract_outputs(spark)
+    return outs["calendar_entries"].select(
+        "path", "name", "summary",
+        F.col("start_date").cast("string").alias("start_s"),
+        F.array_join("attendees", "|").alias("attendees_joined"),
+    ).orderBy("summary")
+
+
+def _ics_oracle_values() -> str:
+    from emailcdc.extract import parse_ics
+    from emailcdc.fixtures import make_ics
+    events, _ = parse_ics(make_ics(2, n_events=2, n_todos=1))
+    rows = []
+    for ev in sorted(events, key=lambda e: e["summary"]):
+        start = ev["start_date"].strftime("%Y-%m-%d %H:%M:%S")
+        rows.append(
+            f"('m/cal.ics', '{ev['name']}', '{ev['summary']}', '{start}', "
+            f"'{'|'.join(ev['attendees'])}')"
+        )
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(path, name, summary, start_s, attendees_joined) ORDER BY summary")
+
+
+def _cdc_final_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from emailcdc import schemas
+    from emailcdc.engine import CdcEngine
+    from emailcdc.fixtures import make_change_events
+    from emailcdc.sink import SnapshotParquetSink
+
+    events = make_change_events(24)
+    edf = spark.createDataFrame(events, schema=schemas.CHANGE_EVENTS)
+    root = tempfile.mkdtemp(prefix="emailcdc_q_")
+    try:
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, root, n_buckets=8))
+        engine.replay(edf, batch_size=40)  # multiple batches
+        snap = engine.table("snapshot").select(
+            "repo", "path", "commit", "content_sha256",
+            F.col("last_offset").cast("long").alias("last_offset"),
+        ).orderBy("repo", "path")
+        return spark.createDataFrame(snap.collect(), schema=snap.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _cdc_oracle_values() -> str:
+    """Pure-Python sequential replay — independent of the Spark engine."""
+    from emailcdc.fixtures import expected_final_state, make_change_events
+    state = expected_final_state(make_change_events(24))
+    rows = []
+    for (repo, path), ev in sorted(state.items()):
+        sha = hashlib.sha256(ev["content"].encode()).hexdigest()
+        rows.append(f"('{repo}', '{path}', '{ev['commit']}', '{sha}', "
+                    f"CAST({ev['offset']} AS BIGINT))")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(repo, path, \"commit\", content_sha256, last_offset)"
+            " ORDER BY repo, path")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "topk_orders_per_customer": _topk_orders_per_customer,
+        "setop_nations": _setop_nations_with_both,
+        "events_by_type": _events_by_type,
+        "lww_last_event_per_user": _lww_last_event_per_user,
+        "address_split_customers": _address_split_customers,
+        # training-data ops
+        "dedup_exact_documents": _dedup_exact_documents,
+        "token_stats_documents": _token_stats_documents,
+        "quality_documents": _quality_documents,
+        "langid_documents": _langid_documents,
+        "fingerprint_documents": _fingerprint_documents,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_documents": _simhash_documents,
+        "ngram_jaccard_sample": _ngram_jaccard_sample,
+        "embedding_norms": _embedding_norms,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
+        "embedding_near_dups": _embedding_near_dups,
+        "multimodal_features": _multimodal_features,
+        # email payload + CDC engine
+        "eml_message_stats": _eml_message_stats,
+        "mbox_message_counts": _mbox_message_counts,
+        "ics_calendar_entries": _ics_calendar_entries,
+        "cdc_final_snapshot": _cdc_final_snapshot,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "topk_orders_per_customer": _TOPK_SQL,
+        "setop_nations": _SETOP_SQL,
+        "events_by_type": _EVENTS_SQL,
+        "lww_last_event_per_user": _LWW_SQL,
+        "address_split_customers": _ADDR_SQL,
+        "dedup_exact_documents": _DEDUP_SQL,
+        "token_stats_documents": _TOKENS_SQL,
+        "quality_documents": _QUALITY_SQL,
+        "embedding_norms": _NORMS_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        # fixture/engine queries: VALUES oracles from the pure-Python path
+        "eml_message_stats": _eml_oracle_values(),
+        "mbox_message_counts": _MBOX_ORACLE,
+        "ics_calendar_entries": _ics_oracle_values(),
+        "cdc_final_snapshot": _cdc_oracle_values(),
+        # langid/fingerprint/minhash/simhash/ngram/ivf/near-dup/multimodal:
+        # non-SQL-expressible (xxhash64 / LSH / pandas UDF) → rows-only check
+    }

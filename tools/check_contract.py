@@ -1,0 +1,110 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at a given SF dir, run the matching oracle_sql() in DuckDB over the
+same parquet views, compare row count + column names + order-insensitive
+value hash.  Usage: python tools/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from emailcdc.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def frame_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app="contract-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows in {dt:.1f}s")
+            if len(srows) == 0 and name not in ("embedding_near_dups",):
+                print(f"  WARNING: zero rows")
+            continue
+        try:
+            orc = con.execute(oracles[name])
+            ocols = [d[0] for d in orc.description]
+            orows = orc.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        ok_count = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_hash = frame_hash(scols, [[r[c] for c in scols] for r in srows]) == \
+            frame_hash(ocols, orows)
+        status = "OK" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(srows)}/{len(orows)} cols={ok_cols} "
+              f"hash={ok_hash} ({dt:.1f}s)")
+        if status == "FAIL" and ok_cols and ok_count:
+            # show first differing row for debugging
+            order = sorted(scols)
+            s_lines = sorted(tuple(norm_cell(r[c]) for c in order) for r in srows)
+            o_map = {c: i for i, c in enumerate(ocols)}
+            o_lines = sorted(tuple(norm_cell(r[o_map[c]]) for c in order) for r in orows)
+            for a, b in zip(s_lines, o_lines):
+                if a != b:
+                    print(f"  spark : {a}\n  duckdb: {b}")
+                    break
+        elif status == "FAIL" and not ok_cols:
+            print(f"  spark cols: {sorted(scols)}\n  duck  cols: {sorted(ocols)}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
