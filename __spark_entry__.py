@@ -362,7 +362,7 @@ def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import minhash_dedup
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return (
-        minhash_dedup(docs, "text", "doc_id", threshold=0.4, n_hashes=32, bands=8)
+        minhash_dedup(docs, "text", "doc_id", threshold=0.4, n_hashes=64, bands=8)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

@@ -24,6 +24,8 @@ O(#hot repos + #touched buckets + #op kinds), constant-size.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -31,7 +33,7 @@ from pyspark.sql import functions as F
 
 from . import schemas
 from .sink import SnapshotParquetSink
-from .udfs import extract_envelope, split_envelope
+from .udfs import ENVELOPE, extract_envelope
 
 KEY = ["repo", "path"]
 
@@ -86,47 +88,63 @@ class CdcEngine:
         if current is not None and batch_id <= current:
             return BatchResult(batch_id, offset_lo, offset_hi, 0, 0, 0, skipped=True)
 
-        # Per-partition lineage of the raw batch read (north rule: lineage +
-        # metrics to a control table).
-        lineage = (
-            batch.groupBy(F.spark_partition_id().alias("partition_id"))
+        # ONE raw-batch stats job (reads only offset/op/repo — Parquet scan
+        # prunes content): per-partition lineage rows (north rule), event
+        # count, op totals, and per-repo counts for hot-key detection.
+        stat_rows = (
+            batch.groupBy(F.spark_partition_id().alias("partition_id"),
+                          "op", "repo")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.min("offset").alias("min_offset"),
                 F.max("offset").alias("max_offset"),
             )
-            .withColumn("partition_id", F.col("partition_id").cast("int"))
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .select("batch_id", "partition_id", "rows", "min_offset", "max_offset")
+            .collect()
         )
+        event_count = sum(r["rows"] for r in stat_rows)
+        per_partition: dict[int, list] = {}
+        per_repo: dict[str, int] = {}
+        op_totals: dict[str, int] = {}
+        for r in stat_rows:
+            pid = int(r["partition_id"])
+            agg = per_partition.setdefault(pid, [0, None, None])
+            agg[0] += r["rows"]
+            agg[1] = r["min_offset"] if agg[1] is None else min(agg[1], r["min_offset"])
+            agg[2] = r["max_offset"] if agg[2] is None else max(agg[2], r["max_offset"])
+            per_repo[r["repo"]] = per_repo.get(r["repo"], 0) + r["rows"]
+            op_totals[r["op"]] = op_totals.get(r["op"], 0) + r["rows"]
+        lineage_rows = [
+            {"batch_id": batch_id, "partition_id": pid, "rows": agg[0],
+             "min_offset": agg[1], "max_offset": agg[2]}
+            for pid, agg in sorted(per_partition.items())
+        ]
+        upsert_count = op_totals.get("I", 0) + op_totals.get("U", 0)
+        delete_count = op_totals.get("D", 0)
 
         # LWW dedup: last event per key inside the batch wins
         # (Window.partitionBy(key).orderBy(desc(offset)) — SURVEY.md §2.2).
+        # The window's shuffle doubles as the extraction partitioning: in
+        # the no-skew case we do NOT repartition again (saves a full
+        # shuffle of the content column).  Materializes lazily inside the
+        # first sink write job.
         w = Window.partitionBy(*KEY).orderBy(F.desc("offset"))
         winners = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
-        winners = winners.persist()
+        ).persist()
         try:
-            op_counts = {r["op"]: r["cnt"] for r in
-                         winners.groupBy("op").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-            event_count = batch.count()
-            upsert_count = op_counts.get("I", 0) + op_counts.get("U", 0)
-            delete_count = op_counts.get("D", 0)
-
             deletes = winners.filter(F.col("op") == "D").select(*KEY)
             upserts = winners.filter(F.col("op") != "D")
 
-            # --- skew: detect hot repos, salt the parse stage ------------------
-            hot_threshold = max(self.hot_key_min, int(upsert_count * self.hot_key_fraction))
-            hot_repos = [
-                r["repo"]
-                for r in upserts.groupBy("repo").agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") > hot_threshold)
-                .collect()
-            ]
+            # --- skew: hot repos get an offset-derived salt for the parse ------
+            hot_threshold = max(self.hot_key_min, int(event_count * self.hot_key_fraction))
+            hot_repos = [repo for repo, c in per_repo.items() if c > hot_threshold]
+            # Always repartition the parse input to full parallelism: python
+            # parse cost per byte is ~10× shuffle cost per byte, and AQE's
+            # size-based coalescing would otherwise starve the CPU-heavy
+            # mapInPandas stage (measured: 3 fat partitions on a 174 MB
+            # batch → parse ran at 1/10 parallelism).
             n_parts = self.extract_partitions or self.spark.sparkContext.defaultParallelism
             if hot_repos:
                 salted = upserts.withColumn(
@@ -140,8 +158,16 @@ class CdcEngine:
                 salted = upserts.repartition(n_parts, *KEY)
 
             # --- extraction (the payload) ---------------------------------------
-            envelope = extract_envelope(salted, self.error_strategy).persist()
-            outs = split_envelope(envelope)
+            # The envelope is parsed ONCE and staged to parquet partitioned
+            # by record_type; each output table then reads only its own
+            # partition (pruned scan, only its struct column).  Staging to
+            # disk beats caching nested rows on-heap: the four downstream
+            # writes re-scan columnar data instead of churning the GC, and
+            # a crashed commit leaves only an orphan staging dir.
+            envelope = extract_envelope(salted, self.error_strategy)
+            stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
+            envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
+            outs = self._read_staged(stage_dir)
 
             # --- snapshot (MERGE target) rows ------------------------------------
             snapshot_rows = upserts.select(
@@ -166,16 +192,41 @@ class CdcEngine:
                     "attachments": outs["attachments"],
                     "calendar_entries": outs["calendar_entries"],
                 },
-                delete_keys=deletes,
-                appends={"failures": outs["failures"], "lineage": lineage},
+                delete_keys=None,
+                appends={"failures": outs["failures"]},
+                append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,
+                # winners are already one-row-per-key: hand the sink its
+                # marks directly (no extra distinct/join jobs)
+                marks=winners.select(
+                    *KEY, F.lit(batch_id).cast("long").alias("_seq"),
+                    (F.col("op") == "D").alias("is_delete")),
             )
-            envelope.unpersist()
             return BatchResult(batch_id, offset_lo, offset_hi,
                                event_count, upsert_count, delete_count,
                                hot_repos=tuple(hot_repos))
         finally:
             winners.unpersist()
+            shutil.rmtree(os.path.join(self.sink.root, "_staging",
+                                       f"batch-{batch_id}"), ignore_errors=True)
+
+    def _read_staged(self, stage_dir: str) -> dict[str, DataFrame]:
+        """Read the four output frames from the record_type-partitioned
+        staging dir; missing partitions (no rows of that kind) yield empty
+        typed frames."""
+        out: dict[str, DataFrame] = {}
+        for record_type, table in (("message", "messages"),
+                                   ("attachment", "attachments"),
+                                   ("calendar", "calendar_entries"),
+                                   ("failure", "failures")):
+            sub = os.path.join(stage_dir, f"record_type={record_type}")
+            field = record_type
+            if os.path.isdir(sub):
+                out[table] = self.spark.read.parquet(sub).select(f"{field}.*")
+            else:
+                struct_type = ENVELOPE[field].dataType
+                out[table] = self.spark.createDataFrame([], struct_type)
+        return out
 
     # --- full replay --------------------------------------------------------------
 

@@ -395,8 +395,12 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
     implements R2 (AbstractJavaMailProcessor.java:96-107): ``continue``
     isolates per-message errors, ``failure`` dead-letters the whole event.
     """
-    sha = sha256_hex(content) if content is not None else None
     out = {"messages": [], "attachments": [], "calendar_entries": [], "failures": []}
+    # sha only matters for rows we actually emit — skip it for source-code
+    # langs (they produce no payload rows; the snapshot sha is computed
+    # JVM-side with F.sha2 in the engine).
+    sha = (sha256_hex(content)
+           if content is not None and lang in ("eml", "mbox", "ics") else None)
 
     def _fail(err: str) -> None:
         out["failures"].append(

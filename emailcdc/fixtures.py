@@ -128,7 +128,7 @@ def make_ics(seq: int, *, n_events: int = 1, n_todos: int = 0) -> str:
         "CALSCALE:GREGORIAN",
     ]
     for i in range(n_events):
-        start = EPOCH + timedelta(days=seq + i)
+        start = EPOCH + timedelta(days=(seq + i) % 3650)  # bounded: no overflow at large seq
         end = start + timedelta(hours=2)
         lines += [
             "BEGIN:VEVENT",
@@ -169,23 +169,28 @@ def _content_for(lang: str, key_seq: int, version: int) -> str:
     return f"// {lang} source file\nint v{seq} = {seq};\n" * (1 + key_seq % 5)
 
 
+def key_fields(i: int, n_keys: int, hot_fraction: float = 0.3,
+               n_hot_repos: int = 2, n_repos: int = 20, seed: int = 42) -> dict:
+    """Key i of the universe as a pure function of the index — O(1), no
+    driver-side key list, so distributed generators ship no closure state
+    (a 500k-entry key dict per task OOMed the 10^6-event bench)."""
+    n_hot = int(n_keys * hot_fraction)
+    if i < n_hot:
+        repo = f"org0/hot{i % n_hot_repos}"
+    else:
+        rrepo = int(hashlib.sha1(f"{seed}|{i}".encode()).hexdigest()[:8], 16) % n_repos
+        repo = f"org{1 + i % 7}/repo{rrepo}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"mail/fixtures/msg_{i:05d}.{lang if lang in ('eml', 'mbox', 'ics') else lang}"
+    return {"repo": repo, "path": path, "lang": lang, "key_seq": i}
+
+
 def make_keys(n_keys: int, hot_fraction: float = 0.3, n_hot_repos: int = 2,
               n_repos: int = 20, seed: int = 42) -> list[dict]:
     """(repo, path, lang) key universe with 1-2 hot repos holding
     ~``hot_fraction`` of keys (skew knob per FIXTURES.md §1)."""
-    rng = random.Random(seed)
-    keys = []
-    n_hot = int(n_keys * hot_fraction)
-    for i in range(n_keys):
-        if i < n_hot:
-            repo = f"org0/hot{i % n_hot_repos}"
-        else:
-            repo = f"org{1 + i % 7}/repo{rng.randrange(n_repos)}"
-        lang = LANGS[i % len(LANGS)]
-        ext = lang if lang in ("eml", "mbox", "ics") else {"java": "java", "py": "py", "txt": "txt"}[lang]
-        path = f"mail/fixtures/msg_{i:05d}.{ext}"
-        keys.append({"repo": repo, "path": path, "lang": lang, "key_seq": i})
-    return keys
+    return [key_fields(i, n_keys, hot_fraction, n_hot_repos, n_repos, seed)
+            for i in range(n_keys)]
 
 
 def make_change_events(n_keys: int = 60, n_events: int | None = None,
@@ -237,6 +242,61 @@ def make_change_events(n_keys: int = 60, n_events: int | None = None,
         )
         offset += 1
     return events
+
+
+def distributed_events_df(spark, n_events: int, n_keys: int,
+                          hot_fraction: float = 0.3, seed: int = 42,
+                          partitions: int | None = None):
+    """Distributed deterministic change-event generator for benchmarks.
+
+    Unlike ``make_change_events`` (driver-side list, test-sized), this
+    builds the log with ``spark.range`` + one Arrow-batched pass, so a
+    10^7+-event log never materializes on the driver.  Layout: event j of
+    key i sits at offset j*n_keys + i (round-robin interleave — dense,
+    per-key monotone, so I<U<D causality holds by construction).  Ops:
+    version 0 = I, last version of every 7th key = D, else U.  Content is
+    the same seeded payload as the test fixtures.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import schemas
+
+    n_versions = (n_events + n_keys - 1) // n_keys
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for offset in pdf["id"]:
+                offset = int(offset)
+                i = offset % n_keys
+                version = offset // n_keys
+                k = key_fields(i, n_keys, hot_fraction=hot_fraction, seed=seed)
+                is_last = version == n_versions - 1
+                if version == 0:
+                    op = "I"
+                elif is_last and i % 7 == 0:
+                    op = "D"
+                else:
+                    op = "U"
+                content = None if op == "D" else _content_for(k["lang"], i, version)
+                rows.append(
+                    {
+                        "offset": offset,
+                        "op": op,
+                        "ts": EPOCH + timedelta(seconds=offset),
+                        "repo": k["repo"],
+                        "path": k["path"],
+                        "commit": None if op == "D" else _commit_hex(k["repo"], k["path"], version),
+                        "lang": k["lang"],
+                        "content": content,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schemas.CHANGE_EVENTS.fields])
+
+    rng = spark.range(0, n_events, numPartitions=partitions or
+                      spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=schemas.CHANGE_EVENTS)
 
 
 def expected_final_state(events: list[dict]) -> dict[tuple[str, str], dict]:

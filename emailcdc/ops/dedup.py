@@ -53,18 +53,58 @@ def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 # --- MinHash + LSH ------------------------------------------------------------
 
-def minhash_signature(col, n_hashes: int = 64, shingle_n: int = 5) -> Column:
-    """n_hashes-wide MinHash signature over word shingles.
+def _minhash_batch(texts, n_hashes: int, shingle_n: int, seed: int = 42):
+    """numpy MinHash over one Arrow batch.
 
-    Permutation i is ``xxhash64(shingle, seed=i)`` (xxhash64's first arg
-    being a literal seed column gives n independent hash families); the
-    whole thing is one nested higher-order expression — JVM codegen, no
-    Python."""
-    sh = shingles(col, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
-    )
+    Base shingle hash = crc32 pair (64-bit, deterministic, C-speed);
+    permutation i = (a_i · h + b_i) mod 2^64 with seeded odd multipliers —
+    the standard affine family.  O(shingles × n_hashes) vectorized ops per
+    doc; an earlier Catalyst HOF formulation (transform/aggregate with
+    xxhash64 per (perm, shingle)) ran interpreted per element and was two
+    orders of magnitude slower at 5k docs."""
+    import zlib
+
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    A = (rs.randint(1, 2**62, size=n_hashes, dtype=np.uint64) * 2 + 1)  # odd
+    B = rs.randint(0, 2**62, size=n_hashes, dtype=np.uint64)
+    empty = [int(np.iinfo(np.int64).max)] * n_hashes
+    out = []
+    with np.errstate(over="ignore"):
+        for text in texts:
+            toks = (text or "").split()
+            if not toks:
+                out.append(empty)
+                continue
+            if len(toks) < shingle_n:
+                shingle_strs = [" ".join(toks)]
+            else:
+                shingle_strs = [" ".join(toks[i:i + shingle_n])
+                                for i in range(len(toks) - shingle_n + 1)]
+            base = np.fromiter(
+                (
+                    (zlib.crc32(s.encode("utf-8", "ignore")) << 32)
+                    | zlib.crc32(s[::-1].encode("utf-8", "ignore") + b"\x01")
+                    for s in shingle_strs
+                ),
+                dtype=np.uint64, count=len(shingle_strs),
+            )
+            sig = (base[:, None] * A[None, :] + B[None, :]).min(axis=0)
+            out.append(sig.astype(np.int64).tolist())
+    return out
+
+
+def minhash_signature(col, n_hashes: int = 64, shingle_n: int = 5) -> Column:
+    """n_hashes-wide MinHash signature over word shingles (Arrow-batched
+    numpy — see ``_minhash_batch``)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(_minhash_batch(texts, n_hashes, shingle_n))
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
 
 
 def minhash_lsh_candidates(

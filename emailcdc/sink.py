@@ -1,36 +1,39 @@
-"""SnapshotParquetSink — an Iceberg-style multi-table sink emulation.
+"""SnapshotParquetSink — an Iceberg-style multi-table MOR sink emulation.
 
 No Iceberg runtime jar ships in this sandbox, so the engine implements the
-same contract Iceberg's ``MERGE INTO`` + snapshot isolation gives, behind a
-small interface a real ``iceberg-spark-runtime`` adapter can replace
-(SURVEY.md §4 item 2):
+contract Iceberg v2 gives (merge-on-read upserts + snapshot isolation +
+safe schema evolution) behind a small interface a real
+``iceberg-spark-runtime`` adapter can replace (SURVEY.md §4 item 2).
 
-- **Immutable bucketed data files.**  Every table is hash-bucketed on the
-  upsert key ``(repo, path)`` into ``n_buckets`` fixed buckets (the analog
-  of Iceberg ``bucket(N, ...)`` partition transform).  A MERGE only reads
-  and rewrites the buckets actually touched by a batch — at 100 TB with
-  4096 buckets a batch touching 1% of keys rewrites ~1% of the sink, never
-  the whole table.
+Design (merge-on-read, like Iceberg v2 position/equality deletes or Hudi
+MOR — chosen over copy-on-write because a WAL tail whose keys spread over
+the whole key space would otherwise rewrite the entire sink every batch):
+
+- **Append-only delta commits.**  A batch commit writes, per table, one
+  immutable delta dir of new rows stamped with ``_seq = batch_id`` and ONE
+  shared *marks* file ``(repo, path, _seq, is_delete)`` covering every key
+  the batch touched.  A commit reads NOTHING — O(batch), not O(sink).
+- **LWW visibility at read.**  A row is visible iff its ``_seq`` equals
+  the key's latest mark and that mark is not a delete.  All keyed tables
+  share the marks (an upsert replaces ALL tables' rows for the key —
+  the reference reprocesses the whole file, SURVEY.md §2.1 K1).
+- **Compaction.**  When any bucket accumulates ≥ ``compact_every`` deltas,
+  the commit folds old visible rows + the new batch into fresh base files
+  and a single fresh marks file — amortized O(sink / compact_every) per
+  batch, exactly Iceberg's rewrite_data_files maintenance.
 - **Manifests + atomic pointer flip.**  Each commit writes
-  ``manifests/manifest-<snapshot_id>.json`` mapping table → bucket → data
-  files (unchanged buckets re-reference the previous snapshot's files —
-  zero copy), then atomically replaces the ``CURRENT`` pointer file
-  (``os.replace``, atomic on POSIX).  The flip is the single commit point:
-  a crash anywhere earlier leaves only orphan data files (garbage, never
-  visible), which ``vacuum()`` removes.
-- **Exactly-once / idempotent replay.**  ``snapshot_id == batch_id``; a
-  batch whose id ≤ the CURRENT pointer is already committed and is skipped
-  by the engine (engine.py).  Offsets ride inside the manifest, so resume
-  = read CURRENT manifest.
-- **Additive schema evolution.**  ``_reconcile_schema`` diffs the incoming
-  StructType against the table's last-known schema; new columns are added
-  nullable, old files are read with ``mergeSchema`` + ``unionByName(...,
-  allowMissingColumns=True)``.  Column drops/renames are rejected (same
-  rule as Iceberg's safe-evolution default).
+  ``manifests/manifest-<snapshot_id>.json`` (snapshot_id == batch_id →
+  idempotent replay) and atomically replaces ``CURRENT`` (``os.replace``).
+  A crash before the flip leaves only orphan files; ``vacuum()`` removes
+  them.  Resume = read offsets off the CURRENT manifest.
+- **Additive schema evolution.**  Parquet ``mergeSchema`` across
+  base+delta files; commits diff the incoming schema against the
+  manifest's recorded schema and reject type changes (Iceberg's
+  safe-evolution default).
 
-Tables managed: ``snapshot`` (live repos state — the MERGE target),
-``messages``, ``attachments``, ``calendar_entries`` (per-key detail rows,
-replaced on upsert), ``failures`` (append-only dead letter).
+Tables: ``snapshot`` (live repos state), ``messages``, ``attachments``,
+``calendar_entries`` (per-key detail rows, replaced on upsert) — keyed;
+``failures``, ``lineage`` — append-only.
 """
 
 from __future__ import annotations
@@ -40,13 +43,14 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 KEY = ["repo", "path"]
 KEYED_TABLES = ("snapshot", "messages", "attachments", "calendar_entries")
 APPEND_TABLES = ("failures", "lineage")
 ALL_TABLES = KEYED_TABLES + APPEND_TABLES
+SEQ = "_seq"
 
 
 def bucket_expr(n_buckets: int):
@@ -60,9 +64,13 @@ class Manifest:
     batch_id: int
     offset_lo: int
     offset_hi: int
-    tables: dict = field(default_factory=dict)  # table -> {bucket(str) -> [files]}
-    schemas: dict = field(default_factory=dict)  # table -> schema json
+    # table -> list of data dirs (each dir = one commit's delta or a base)
+    tables: dict = field(default_factory=dict)
+    # list of marks files (key visibility journal), oldest→newest
+    marks: list = field(default_factory=list)
+    schemas: dict = field(default_factory=dict)
     stats: dict = field(default_factory=dict)
+    delta_depth: int = 0  # deltas since last compaction
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -73,10 +81,12 @@ class Manifest:
 
 
 class SnapshotParquetSink:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64,
+                 compact_every: int = 8):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.compact_every = compact_every
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -112,47 +122,79 @@ class SnapshotParquetSink:
 
     # --- reads --------------------------------------------------------------
 
-    def _table_files(self, manifest: Manifest | None, table: str,
-                     buckets: list[int] | None = None) -> list[str]:
-        if manifest is None or table not in manifest.tables:
-            return []
-        entry = manifest.tables[table]
-        if buckets is None:
-            return [f for files in entry.values() for f in files]
-        return [f for b in buckets for f in entry.get(str(b), [])]
-
-    def read_table(self, table: str, buckets: list[int] | None = None) -> DataFrame | None:
-        """Current snapshot of a table (optionally only given buckets)."""
-        manifest = self.read_manifest()
-        files = self._table_files(manifest, table, buckets)
-        if not files:
+    def _marks_df(self, manifest: Manifest) -> DataFrame | None:
+        if not manifest.marks:
             return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self.spark.read.parquet(*manifest.marks)
+
+    def _latest_marks(self, manifest: Manifest) -> DataFrame | None:
+        """Latest mark per key: (repo, path, _seq, is_delete)."""
+        marks = self._marks_df(manifest)
+        if marks is None:
+            return None
+        w = Window.partitionBy(*KEY).orderBy(F.desc(SEQ))
+        return (
+            marks.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def read_table(self, table: str, buckets: list[int] | None = None,
+                   with_seq: bool = False) -> DataFrame | None:
+        """Current visible snapshot of a table (MOR merge of base+deltas)."""
+        manifest = self.read_manifest()
+        if manifest is None or table not in manifest.tables:
+            return None
+        dirs = manifest.tables[table]
+        if not dirs:
+            return None
+        rows = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if table in APPEND_TABLES:
+            return rows
+        if buckets is not None:
+            rows = rows.filter(bucket_expr(self.n_buckets).isin(buckets))
+        latest = self._latest_marks(manifest)
+        if latest is not None:
+            live = latest.filter(~F.col("is_delete")).select(
+                *KEY, F.col(SEQ).alias("_live_seq"))
+            rows = (
+                rows.join(live, on=KEY, how="inner")
+                .filter(F.col(SEQ) == F.col("_live_seq"))
+                .drop("_live_seq")
+            )
+        if not with_seq:
+            rows = rows.drop(SEQ)
+        return rows.drop("_bucket") if "_bucket" in rows.columns else rows
 
     # --- schema evolution ----------------------------------------------------
 
     @staticmethod
-    def _reconcile(old_df: DataFrame | None, new_df: DataFrame) -> tuple[DataFrame | None, DataFrame]:
-        """Additive reconcile: align both sides by name, adding missing
-        columns as nulls.  Rejects type changes (safe-evolution rule)."""
-        if old_df is None:
-            return None, new_df
-        old_types = dict(old_df.dtypes)
-        new_types = dict(new_df.dtypes)
-        for col, dt in new_types.items():
-            if col in old_types and old_types[col] != dt:
+    def _check_schema(prev_schema_json: str | None, new_df: DataFrame) -> None:
+        """Additive-only evolution: reject type changes for same-named
+        columns (new columns are fine — parquet mergeSchema unions them;
+        old rows read as null)."""
+        if not prev_schema_json:
+            return
+        from pyspark.sql.types import StructType
+        prev = StructType.fromJson(json.loads(prev_schema_json))
+        prev_types = {f.name: f.dataType.simpleString() for f in prev.fields}
+        for f in new_df.schema.fields:
+            old = prev_types.get(f.name)
+            if old is not None and old != f.dataType.simpleString():
                 raise ValueError(
-                    f"unsafe schema evolution on '{col}': {old_types[col]} → {dt}"
-                )
-        for col, dt in new_types.items():
-            if col not in old_types:
-                old_df = old_df.withColumn(col, F.lit(None).cast(dt))
-        for col, dt in old_types.items():
-            if col not in new_types:
-                new_df = new_df.withColumn(col, F.lit(None).cast(dt))
-        new_df = new_df.select(*sorted(new_df.columns))
-        old_df = old_df.select(*sorted(old_df.columns))
-        return old_df, new_df
+                    f"unsafe schema evolution on '{f.name}': {old} → "
+                    f"{f.dataType.simpleString()}")
+
+    @staticmethod
+    def _merged_schema_json(prev_schema_json: str | None, new_df: DataFrame) -> str:
+        if not prev_schema_json:
+            return new_df.schema.json()
+        from pyspark.sql.types import StructType
+        prev = StructType.fromJson(json.loads(prev_schema_json))
+        names = {f.name for f in prev.fields}
+        merged = StructType(list(prev.fields) +
+                            [f for f in new_df.schema.fields if f.name not in names])
+        return merged.json()
 
     # --- commit --------------------------------------------------------------
 
@@ -165,105 +207,133 @@ class SnapshotParquetSink:
         delete_keys: DataFrame | None,
         appends: dict[str, DataFrame] | None = None,
         stats: dict | None = None,
+        batch_keys: DataFrame | None = None,
+        append_rows: dict[str, tuple[list, object]] | None = None,
+        marks: DataFrame | None = None,
     ) -> Manifest:
-        """MERGE a batch into all tables and atomically publish snapshot
-        ``batch_id``.
+        """MOR-commit a batch and atomically publish snapshot ``batch_id``.
 
-        ``upserts[table]`` rows replace ALL existing rows for their
-        ``(repo, path)`` key (op I/U — the new extraction supersedes the
-        old, matching the reference's whole-file reprocessing model);
-        ``delete_keys`` removes keys (op D).  Only touched buckets are
-        rewritten; untouched buckets re-reference previous files.
+        ``upserts[table]`` rows replace ALL existing rows for their key
+        (visibility via the shared marks journal); ``delete_keys`` removes
+        keys.  Writes are pure appends; every ``compact_every`` commits the
+        sink is folded into fresh base files instead.
         """
         prev = self.read_manifest()
         snapshot_id = batch_id
         appends = appends or {}
+        append_rows = append_rows or {}
+        compacting = prev is not None and prev.delta_depth + 1 >= self.compact_every
 
-        # Touched buckets = buckets of any upserted or deleted key.
-        key_frames = [df.select(*KEY) for df in upserts.values()]
-        if delete_keys is not None:
-            key_frames.append(delete_keys.select(*KEY))
-        touched: set[int] = set()
-        if key_frames:
-            all_keys = key_frames[0]
-            for kf in key_frames[1:]:
-                all_keys = all_keys.unionByName(kf)
-            touched = {
-                r["b"]
-                for r in all_keys.select(bucket_expr(self.n_buckets).alias("b"))
-                .distinct()
-                .collect()
-            }
-        touched_list = sorted(touched)
+        # ---- marks: one row per touched key, delete-flagged.  Callers that
+        # already hold a deduped per-key frame (the engine's LWW winners)
+        # pass `marks` directly; otherwise it is derived from
+        # upserts/delete_keys.
+        if marks is None:
+            if batch_keys is None:
+                frames = [df.select(*KEY) for df in upserts.values()]
+                if delete_keys is not None:
+                    frames.append(delete_keys.select(*KEY))
+                batch_keys = None
+                for kf in frames:
+                    batch_keys = kf if batch_keys is None else batch_keys.unionByName(kf)
+                if batch_keys is not None:
+                    batch_keys = batch_keys.distinct()
+            if batch_keys is not None:
+                if delete_keys is not None:
+                    marks = batch_keys.join(
+                        delete_keys.select(*KEY).withColumn("is_delete", F.lit(True)),
+                        on=KEY, how="left",
+                    ).select(
+                        *KEY, F.lit(batch_id).cast("long").alias(SEQ),
+                        F.coalesce("is_delete", F.lit(False)).alias("is_delete"),
+                    )
+                else:
+                    marks = batch_keys.select(
+                        *KEY, F.lit(batch_id).cast("long").alias(SEQ),
+                        F.lit(False).alias("is_delete"),
+                    )
 
-        # Union of all batch keys (for the anti-join delete side). Small per
-        # micro-batch → broadcast.
-        batch_keys = None
-        if key_frames:
-            batch_keys = key_frames[0]
-            for kf in key_frames[1:]:
-                batch_keys = batch_keys.unionByName(kf)
-            batch_keys = batch_keys.distinct()
-
-        new_tables: dict[str, dict[str, list[str]]] = {}
+        new_tables: dict[str, list[str]] = {}
         new_schemas: dict[str, str] = {}
+        marks_list = list(prev.marks) if prev else []
+        marks_dir = os.path.join(self.root, "data", "_marks", f"snap-{snapshot_id}")
+        batch_keys = marks.select(*KEY) if marks is not None else batch_keys
 
         for table in KEYED_TABLES:
-            prev_entry = dict(prev.tables.get(table, {})) if prev else {}
-            new_entry = {b: files for b, files in prev_entry.items()
-                         if int(b) not in touched}
+            prev_dirs = list(prev.tables.get(table, [])) if prev else []
+            prev_schema = prev.schemas.get(table) if prev else None
             new_rows = upserts.get(table)
-            old_touched = None
-            if touched_list and prev_entry:
-                files = [f for b in touched_list for f in prev_entry.get(str(b), [])]
-                if files:
-                    old_touched = self.spark.read.option("mergeSchema", "true").parquet(*files)
-            if old_touched is not None and batch_keys is not None:
-                # survivors: old rows in touched buckets whose key is NOT in batch
-                old_touched = old_touched.join(
-                    F.broadcast(batch_keys), on=KEY, how="left_anti"
-                )
-            if new_rows is not None and old_touched is not None:
-                old_touched, new_rows = self._reconcile(old_touched, new_rows)
-                merged = old_touched.unionByName(new_rows, allowMissingColumns=True)
-            elif new_rows is not None:
-                merged = new_rows
-            else:
-                merged = old_touched
-            if merged is not None and touched_list:
-                out_dir = os.path.join(
-                    self.root, "data", table, f"snap-{snapshot_id}"
-                )
+            out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
+            if new_rows is not None:
+                self._check_schema(prev_schema, new_rows)
+                stamped = new_rows.withColumn(SEQ, F.lit(batch_id).cast("long"))
+                if compacting:
+                    old_visible = self._visible_before(prev, table, batch_keys)
+                    if old_visible is not None:
+                        stamped = old_visible.unionByName(stamped, allowMissingColumns=True)
+                # `_bucket` is a clustered data column (NOT partitionBy:
+                # multiple delta roots with hive-style subdirs trip Spark's
+                # partition discovery).  repartition clusters each file to
+                # ~1-2 buckets, so parquet min/max stats on _bucket give
+                # row-group skipping for bucket-pruned reads.
                 (
-                    merged.withColumn("_bucket", bucket_expr(self.n_buckets))
-                    .filter(F.col("_bucket").isin(touched_list))
-                    .repartition(max(1, min(len(touched_list), 32)), "_bucket")
-                    .write.partitionBy("_bucket")
-                    .mode("overwrite")
+                    stamped.withColumn("_bucket", bucket_expr(self.n_buckets))
+                    .repartition(min(self.n_buckets, 32), "_bucket")
+                    .write.mode("overwrite")
                     .parquet(out_dir)
                 )
-                for b in touched_list:
-                    bdir = os.path.join(out_dir, f"_bucket={b}")
-                    if os.path.isdir(bdir):
-                        new_entry[str(b)] = [bdir]
-                    else:
-                        new_entry.pop(str(b), None)  # bucket emptied
-                new_schemas[table] = merged.schema.json()
-            elif prev and table in prev.schemas:
-                new_schemas[table] = prev.schemas[table]
-            new_tables[table] = new_entry
+                # an all-empty write leaves no parquet files — don't register
+                # a dir Spark can't infer a schema from
+                has_files = any(
+                    f.endswith(".parquet")
+                    for _, _, files in os.walk(out_dir) for f in files
+                )
+                if has_files:
+                    new_tables[table] = [out_dir] if compacting else prev_dirs + [out_dir]
+                else:
+                    new_tables[table] = [] if compacting else prev_dirs
+                new_schemas[table] = self._merged_schema_json(prev_schema, new_rows)
+            else:
+                new_tables[table] = prev_dirs
+                if prev_schema:
+                    new_schemas[table] = prev_schema
+
+        # ---- marks write (after table data, before manifest)
+        if marks is not None:
+            if compacting:
+                # fold: latest live marks for keys NOT in this batch + this batch's
+                latest = self._latest_marks(prev) if prev else None
+                folded = marks
+                if latest is not None:
+                    keep = latest.filter(~F.col("is_delete")).join(
+                        F.broadcast(batch_keys), on=KEY, how="left_anti")
+                    folded = keep.unionByName(marks)
+                folded.repartition(4).write.mode("overwrite").parquet(marks_dir)
+                marks_list = [marks_dir]
+            else:
+                marks.repartition(1).write.mode("overwrite").parquet(marks_dir)
+                marks_list = marks_list + [marks_dir]
 
         for table in APPEND_TABLES:
-            prev_entry = dict(prev.tables.get(table, {})) if prev else {}
+            prev_dirs = list(prev.tables.get(table, [])) if prev else []
             rows = appends.get(table)
-            if rows is not None and not rows.isEmpty():
-                out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
+            local = append_rows.get(table)
+            out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
+            if local is not None and local[0]:
+                row_list, schema = local
+                os.makedirs(out_dir, exist_ok=True)
+                self._write_local_parquet(
+                    os.path.join(out_dir, "part-0.parquet"), row_list, schema)
+                new_tables[table] = prev_dirs + [out_dir]
+                new_schemas[table] = schema.json()
+            elif rows is not None and not rows.isEmpty():
                 rows.write.mode("overwrite").parquet(out_dir)
-                prev_entry[str(snapshot_id)] = [out_dir]
+                new_tables[table] = prev_dirs + [out_dir]
                 new_schemas[table] = rows.schema.json()
-            elif prev and table in prev.schemas:
-                new_schemas[table] = prev.schemas[table]
-            new_tables[table] = prev_entry
+            else:
+                new_tables[table] = prev_dirs
+                if prev and table in prev.schemas:
+                    new_schemas[table] = prev.schemas[table]
 
         manifest = Manifest(
             snapshot_id=snapshot_id,
@@ -271,8 +341,10 @@ class SnapshotParquetSink:
             offset_lo=offset_lo,
             offset_hi=offset_hi,
             tables=new_tables,
+            marks=marks_list,
             schemas=new_schemas,
             stats=stats or {},
+            delta_depth=0 if compacting else (prev.delta_depth + 1 if prev else 1),
         )
         mpath = os.path.join(self.root, "manifests", f"manifest-{snapshot_id}.json")
         with open(mpath + ".tmp", "w") as fh:
@@ -283,7 +355,62 @@ class SnapshotParquetSink:
         self._flip_current(snapshot_id)  # ← the commit point
         return manifest
 
+    def _visible_before(self, prev: Manifest, table: str,
+                        batch_keys: DataFrame | None) -> DataFrame | None:
+        """Visible rows of ``table`` at the previous snapshot, minus keys
+        replaced by the current batch (used by compaction folds)."""
+        dirs = prev.tables.get(table, [])
+        if not dirs:
+            return None
+        rows = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if "_bucket" in rows.columns:
+            rows = rows.drop("_bucket")
+        latest = self._latest_marks(prev)
+        if latest is not None:
+            live = latest.filter(~F.col("is_delete")).select(
+                *KEY, F.col(SEQ).alias("_live_seq"))
+            rows = (
+                rows.join(live, on=KEY, how="inner")
+                .filter(F.col(SEQ) == F.col("_live_seq"))
+                .drop("_live_seq")
+            )
+        if batch_keys is not None:
+            rows = rows.join(F.broadcast(batch_keys), on=KEY, how="left_anti")
+        return rows
+
+    @staticmethod
+    def _write_local_parquet(path: str, rows: list[dict], spark_schema) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_schema)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in spark_schema.fields}
+        table = pa.Table.from_pydict(cols, schema=arrow_schema)
+        pq.write_table(table, path)
+
     # --- maintenance ----------------------------------------------------------
+
+    def compact_now(self, batch_id: int) -> Manifest:
+        """Force a fold of all deltas into fresh bases (no new data)."""
+        prev = self.read_manifest()
+        if prev is None:
+            raise ValueError("nothing to compact")
+        old_every = self.compact_every
+        self.compact_every = 0  # force
+        try:
+            empty_keys = self.spark.createDataFrame([], "repo string, path string")
+            return self.commit(
+                batch_id=batch_id, offset_lo=prev.offset_lo,
+                offset_hi=prev.offset_hi,
+                upserts={t: self.spark.createDataFrame(
+                    [], self.read_table(t).schema) for t in KEYED_TABLES
+                    if prev.tables.get(t)},
+                delete_keys=None, batch_keys=empty_keys,
+                stats={"compaction": True},
+            )
+        finally:
+            self.compact_every = old_every
 
     def vacuum(self) -> int:
         """Remove data directories not referenced by the current manifest
@@ -291,20 +418,20 @@ class SnapshotParquetSink:
         manifest = self.read_manifest()
         live: set[str] = set()
         if manifest:
-            for entry in manifest.tables.values():
-                for files in entry.values():
-                    for f in files:
-                        live.add(os.path.normpath(f))
+            for dirs in manifest.tables.values():
+                for d in dirs:
+                    live.add(os.path.normpath(d))
+            for d in manifest.marks:
+                live.add(os.path.normpath(d))
         removed = 0
         data_root = os.path.join(self.root, "data")
-        for table in ALL_TABLES:
+        for table in list(ALL_TABLES) + ["_marks"]:
             tdir = os.path.join(data_root, table)
             if not os.path.isdir(tdir):
                 continue
             for snap in os.listdir(tdir):
                 sdir = os.path.join(tdir, snap)
-                keep = any(l.startswith(os.path.normpath(sdir)) for l in live)
-                if not keep:
+                if os.path.normpath(sdir) not in live:
                     shutil.rmtree(sdir, ignore_errors=True)
                     removed += 1
         return removed
