@@ -26,9 +26,10 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import schemas
@@ -84,6 +85,16 @@ class CdcEngine:
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
                     offset_lo: int, offset_hi: int) -> BatchResult:
+        timing = os.environ.get("EMAILCDC_TIMING") == "1"
+        t_last = [time.time()]
+
+        def _mark(phase: str) -> None:
+            if timing:
+                now = time.time()
+                print(f"[timing b{batch_id}] {phase}: {now - t_last[0]:.1f}s",
+                      flush=True)
+                t_last[0] = now
+
         current = self.sink.current_snapshot_id()
         if current is not None and batch_id <= current:
             return BatchResult(batch_id, offset_lo, offset_hi, 0, 0, 0, skipped=True)
@@ -120,18 +131,18 @@ class CdcEngine:
         ]
         upsert_count = op_totals.get("I", 0) + op_totals.get("U", 0)
         delete_count = op_totals.get("D", 0)
+        _mark("stats")
 
-        # LWW dedup: last event per key inside the batch wins
-        # (Window.partitionBy(key).orderBy(desc(offset)) — SURVEY.md §2.2).
-        # The window's shuffle doubles as the extraction partitioning: in
-        # the no-skew case we do NOT repartition again (saves a full
-        # shuffle of the content column).  Materializes lazily inside the
-        # first sink write job.
-        w = Window.partitionBy(*KEY).orderBy(F.desc("offset"))
-        winners = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        # LWW dedup: last event per key inside the batch wins.  Instead of
+        # a window over the full rows — which shuffles the (multi-KB)
+        # content column — compute the winning offsets from the metadata
+        # columns only (groupBy key → max(offset): parquet scan prunes
+        # content) and broadcast-semi-join the batch on offset.  The
+        # content column never shuffles; winners materialize straight off
+        # the scan into the cache.
+        win_offs = batch.groupBy(*KEY).agg(F.max("offset").alias("offset"))
+        winners = batch.join(
+            F.broadcast(win_offs.select("offset")), on="offset", how="leftsemi"
         ).persist()
         try:
             deletes = winners.filter(F.col("op") == "D").select(*KEY)
@@ -140,13 +151,14 @@ class CdcEngine:
             # --- skew: hot repos get an offset-derived salt for the parse ------
             hot_threshold = max(self.hot_key_min, int(event_count * self.hot_key_fraction))
             hot_repos = [repo for repo, c in per_repo.items() if c > hot_threshold]
-            # Always repartition the parse input to full parallelism: python
-            # parse cost per byte is ~10× shuffle cost per byte, and AQE's
-            # size-based coalescing would otherwise starve the CPU-heavy
-            # mapInPandas stage (measured: 3 fat partitions on a 174 MB
-            # batch → parse ran at 1/10 parallelism).
-            n_parts = self.extract_partitions or self.spark.sparkContext.defaultParallelism
+            # Parse-stage partitioning: the no-shuffle path inherits the
+            # scan partitioning (session sets files.maxPartitionBytes low
+            # enough for full parallelism — python parse cost per byte is
+            # ~10× scan cost per byte).  Hot repos get an offset-derived
+            # salt and an explicit repartition so one giant repo spreads
+            # over n_salts partitions (north rule's skew contract).
             if hot_repos:
+                n_parts = self.extract_partitions or self.spark.sparkContext.defaultParallelism
                 salted = upserts.withColumn(
                     "_salt",
                     F.when(
@@ -154,8 +166,10 @@ class CdcEngine:
                         F.pmod(F.xxhash64("path", "offset"), F.lit(self.n_salts)),
                     ).otherwise(F.lit(0)),
                 ).repartition(n_parts, "repo", "_salt").drop("_salt")
+            elif self.extract_partitions:
+                salted = upserts.repartition(self.extract_partitions)
             else:
-                salted = upserts.repartition(n_parts, *KEY)
+                salted = upserts
 
             # --- extraction (the payload) ---------------------------------------
             # The envelope is parsed ONCE and staged to parquet partitioned
@@ -167,6 +181,7 @@ class CdcEngine:
             envelope = extract_envelope(salted, self.error_strategy)
             stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
             envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
+            _mark("extract+stage")
             outs = self._read_staged(stage_dir)
 
             # --- snapshot (MERGE target) rows ------------------------------------
@@ -202,6 +217,7 @@ class CdcEngine:
                     *KEY, F.lit(batch_id).cast("long").alias("_seq"),
                     (F.col("op") == "D").alias("is_delete")),
             )
+            _mark("commit")
             return BatchResult(batch_id, offset_lo, offset_hi,
                                event_count, upsert_count, delete_count,
                                hot_repos=tuple(hot_repos))

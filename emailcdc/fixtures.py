@@ -170,7 +170,8 @@ def _content_for(lang: str, key_seq: int, version: int) -> str:
 
 
 def key_fields(i: int, n_keys: int, hot_fraction: float = 0.3,
-               n_hot_repos: int = 2, n_repos: int = 20, seed: int = 42) -> dict:
+               n_hot_repos: int = 2, n_repos: int = 20, seed: int = 42,
+               langs: tuple = LANGS) -> dict:
     """Key i of the universe as a pure function of the index — O(1), no
     driver-side key list, so distributed generators ship no closure state
     (a 500k-entry key dict per task OOMed the 10^6-event bench)."""
@@ -180,8 +181,8 @@ def key_fields(i: int, n_keys: int, hot_fraction: float = 0.3,
     else:
         rrepo = int(hashlib.sha1(f"{seed}|{i}".encode()).hexdigest()[:8], 16) % n_repos
         repo = f"org{1 + i % 7}/repo{rrepo}"
-    lang = LANGS[i % len(LANGS)]
-    path = f"mail/fixtures/msg_{i:05d}.{lang if lang in ('eml', 'mbox', 'ics') else lang}"
+    lang = langs[i % len(langs)]
+    path = f"mail/fixtures/msg_{i:05d}.{lang}"
     return {"repo": repo, "path": path, "lang": lang, "key_seq": i}
 
 
@@ -246,7 +247,8 @@ def make_change_events(n_keys: int = 60, n_events: int | None = None,
 
 def distributed_events_df(spark, n_events: int, n_keys: int,
                           hot_fraction: float = 0.3, seed: int = 42,
-                          partitions: int | None = None):
+                          partitions: int | None = None,
+                          langs: tuple = LANGS):
     """Distributed deterministic change-event generator for benchmarks.
 
     Unlike ``make_change_events`` (driver-side list, test-sized), this
@@ -271,7 +273,8 @@ def distributed_events_df(spark, n_events: int, n_keys: int,
                 offset = int(offset)
                 i = offset % n_keys
                 version = offset // n_keys
-                k = key_fields(i, n_keys, hot_fraction=hot_fraction, seed=seed)
+                k = key_fields(i, n_keys, hot_fraction=hot_fraction,
+                               seed=seed, langs=langs)
                 is_last = version == n_versions - 1
                 if version == 0:
                     op = "I"
