@@ -58,14 +58,20 @@ class CdcEngine:
         sink: SnapshotParquetSink,
         *,
         error_strategy: str = "continue",
+        missing_field_strategy: str = "empty",
+        missing_field_substitution: str | None = None,
         n_salts: int = 8,
         hot_key_fraction: float = 0.2,
         hot_key_min: int = 64,
         extract_partitions: int | None = None,
     ):
+        from .extract import validate_missing_field_config
+        validate_missing_field_config(missing_field_strategy, missing_field_substitution)
         self.spark = spark
         self.sink = sink
         self.error_strategy = error_strategy
+        self.missing_field_strategy = missing_field_strategy
+        self.missing_field_substitution = missing_field_substitution
         self.n_salts = n_salts
         self.hot_key_fraction = hot_key_fraction
         self.hot_key_min = hot_key_min
@@ -84,7 +90,8 @@ class CdcEngine:
     # --- one micro-batch --------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
-                    offset_lo: int, offset_hi: int) -> BatchResult:
+                    offset_lo: int | None = None,
+                    offset_hi: int | None = None) -> BatchResult:
         timing = os.environ.get("EMAILCDC_TIMING") == "1"
         t_last = [time.time()]
 
@@ -131,6 +138,10 @@ class CdcEngine:
         ]
         upsert_count = op_totals.get("I", 0) + op_totals.get("U", 0)
         delete_count = op_totals.get("D", 0)
+        if offset_lo is None:  # streaming path: derive bounds from the batch
+            offset_lo = min((a[1] for a in per_partition.values()), default=0)
+        if offset_hi is None:
+            offset_hi = max((a[2] for a in per_partition.values()), default=-1)
         _mark("stats")
 
         # LWW dedup: last event per key inside the batch wins.  Instead of
@@ -178,7 +189,9 @@ class CdcEngine:
             # disk beats caching nested rows on-heap: the four downstream
             # writes re-scan columnar data instead of churning the GC, and
             # a crashed commit leaves only an orphan staging dir.
-            envelope = extract_envelope(salted, self.error_strategy)
+            envelope = extract_envelope(
+                salted, self.error_strategy,
+                self.missing_field_strategy, self.missing_field_substitution)
             stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
             envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
             _mark("extract+stage")

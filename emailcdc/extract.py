@@ -380,12 +380,98 @@ def parse_ics(raw: str) -> tuple[list[dict], int]:
     return events, component_count
 
 
+# --- PST semantic layer (E5/E6/E7) -------------------------------------------
+# The binary PST container needs java-libpst/pypff (not in this sandbox);
+# these functions carry the reference's PST *semantics* for a pre-extracted
+# PST row source (SURVEY.md §2.1 P3/E5/E6/E7), with parity tests.
+
+_PST_DATE_HEADER = "Date"
+
+
+def pst_body_precedence(plain: str | None, html: str | None,
+                        rtf: str | None) -> dict:
+    """E5 — first non-null of PLAIN > HTML > RTF; all null raises (the
+    reference throws ProcessException("Missing body."), ExtractPSTFile
+    .java:174-185)."""
+    if plain is not None:
+        return {"body": plain, "body_type": "PLAIN"}
+    if html is not None:
+        return {"body": html, "body_type": "HTML"}
+    if rtf is not None:
+        return {"body": rtf, "body_type": "RTF"}
+    raise ValueError("Missing body.")
+
+
+def parse_transport_headers(raw: str | None) -> dict[str, str]:
+    """E6 — PST transport-header parse (ExtractPSTFile.java:204-227).
+
+    Split on CR/LF, skip empties, split each line on ``:\\s+`` keeping
+    2-token pairs only (the reference logs-and-continues on ≠2 tokens but
+    then still indexes split[1] — a latent IndexOutOfBounds for valueless
+    headers; we keep the documented "pairs only" intent instead of the
+    crash — SURVEY.md §2.1 E6 deviation).  Date header quirk reproduced:
+    if the value has 4 comma-separated tokens, keep only the first two
+    (ExtractPSTFile.java:217-223)."""
+    headers: dict[str, str] = {}
+    if not raw:
+        return headers
+    for line in re.split(r"[\r\n]+", raw):
+        if not line.strip():
+            continue
+        parts = re.split(r":\s+", line)  # no limit — exactly Java's split()
+        if len(parts) != 2:
+            continue
+        name, value = parts[0], parts[1]
+        if name == _PST_DATE_HEADER:
+            tokens = value.split(",")
+            if len(tokens) == 4:
+                value = ",".join(tokens[:2])
+        headers[name] = value
+    return headers
+
+
 # --- per-event dispatch (used by the engine's mapInPandas stage) ------------
+
+
+def validate_missing_field_config(strategy: str, substitution: str | None) -> None:
+    """R3 config validation — parity with customValidate
+    (ExtractMBoxFile.java:60-76, AbstractJavaMailProcessor.java:69-93):
+    strategy 'value' requires a non-blank substitution."""
+    if strategy not in ("error", "empty", "value"):
+        raise ValueError(f"invalid missing-field strategy: {strategy!r}")
+    if strategy == "value" and (substitution is None or not substitution.strip()):
+        raise ValueError(
+            "missing-field strategy 'value' requires a non-empty substitution value")
+
+
+def apply_missing_field_strategy(message: dict, strategy: str,
+                                 substitution: str | None) -> dict | None:
+    """R3 — handle an absent sender per the configured strategy.
+
+    NOTE: the reference *declares* this property but never consumes it in
+    processing code (only customValidate); the processing default is the
+    'empty' behavior (missing From → "" through E1).  We implement the
+    declared contract: 'empty' keeps "" (reference behavior), 'value'
+    substitutes, 'error' returns None → caller dead-letters the message.
+    """
+    sd = message.get("sender_details") or {}
+    missing = not (sd.get("email_address") or "").strip()
+    if not missing:
+        return message
+    if strategy == "empty":
+        return message
+    if strategy == "value":
+        message["sender_details"] = {"name": substitution,
+                                     "email_address": substitution}
+        return message
+    return None  # error strategy
 
 
 def extract_event(repo: str, path: str, offset, commit: str | None,
                   lang: str | None, content: str | None,
-                  error_strategy: str = "continue") -> dict:
+                  error_strategy: str = "continue",
+                  missing_field_strategy: str = "empty",
+                  missing_field_substitution: str | None = None) -> dict:
     """Process one change event's content → {messages, attachments,
     calendar_entries, failures} lists of dicts (schemas.py shapes).
 
@@ -415,6 +501,13 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
             "commit": commit, "lang": lang}
 
     def _emit_message(parsed: dict, seq: int) -> None:
+        if missing_field_strategy != "empty":
+            handled = apply_missing_field_strategy(
+                parsed, missing_field_strategy, missing_field_substitution)
+            if handled is None:  # R3 'error': dead-letter this message
+                _fail(f"message {seq}: missing sender")
+                return
+            parsed = handled
         atts = parsed.pop("attachments")
         att_refs = []
         for att in atts:

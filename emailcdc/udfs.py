@@ -44,7 +44,9 @@ _EXTRACT_COLS = ["offset", "repo", "path", "commit", "lang", "content"]
 
 
 def _extract_partition(
-    batches: Iterator[pd.DataFrame], error_strategy: str
+    batches: Iterator[pd.DataFrame], error_strategy: str,
+    missing_field_strategy: str = "empty",
+    missing_field_substitution: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
@@ -55,6 +57,8 @@ def _extract_partition(
             result = extract_event(
                 repo, path, int(offset), commit, lang, content,
                 error_strategy=error_strategy,
+                missing_field_strategy=missing_field_strategy,
+                missing_field_substitution=missing_field_substitution,
             )
             for m in result["messages"]:
                 rows.append(("message", m, None, None, None))
@@ -69,11 +73,16 @@ def _extract_partition(
         )
 
 
-def extract_envelope(events: DataFrame, error_strategy: str = "continue") -> DataFrame:
+def extract_envelope(events: DataFrame, error_strategy: str = "continue",
+                     missing_field_strategy: str = "empty",
+                     missing_field_substitution: str | None = None) -> DataFrame:
     """events(offset,repo,path,commit,lang,content,...) → envelope frame."""
     projected = events.select(*_EXTRACT_COLS)
     return projected.mapInPandas(
-        lambda it: _extract_partition(it, error_strategy), schema=ENVELOPE
+        lambda it: _extract_partition(
+            it, error_strategy, missing_field_strategy,
+            missing_field_substitution),
+        schema=ENVELOPE,
     )
 
 

@@ -1,0 +1,200 @@
+"""Training-data operator tests: dedup, similarity, text stats,
+multimodal plumbing — each checked against an independent Python/numpy
+oracle on small deterministic data."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from emailcdc.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, ""),
+        (5, "el perro y el gato en la casa de la abuela con los primos"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    vecs[1] = vecs[0] * 1.5  # exact cosine dup of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, spark, docs):
+        kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert 0 in ids and 1 not in ids
+        assert ids == {0, 2, 3, 4, 5}
+
+    def test_dup_groups(self, spark, docs):
+        groups = dedup.exact_dup_groups(docs, ["text"], "doc_id")
+        dup = groups.filter("dup_count > 1").collect()
+        assert len(dup) == 1
+        assert dup[0]["dup_count"] == 2 and dup[0]["keeper_id"] == 0
+
+
+class TestMinhash:
+    def test_exact_dups_always_candidates(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.minhash_lsh_candidates(docs, "text", "doc_id").collect()}
+        assert (0, 1) in pairs  # identical docs collide in every band
+
+    def test_verified_jaccard_values(self, spark, docs):
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.0,
+                                   shingle_n=3).collect()}
+        assert out[(0, 1)] == pytest.approx(1.0)
+        if (0, 2) in out:  # near-dup: one word differs → high-but-<1 jaccard
+            assert 0.4 < out[(0, 2)] < 1.0
+
+    def test_signature_deterministic(self, spark, docs):
+        a = docs.select(dedup.minhash_signature("text", 16, 3).alias("s")).collect()
+        b = docs.select(dedup.minhash_signature("text", 16, 3).alias("s")).collect()
+        assert [r["s"] for r in a] == [r["s"] for r in b]
+
+    def test_oracle_parity(self):
+        # UDF body vs direct python call
+        out = dedup._minhash_batch(["a b c d e f g", "a b c d e f g"], 8, 3)
+        assert out[0] == out[1]
+        assert len(out[0]) == 8
+
+
+class TestSimhash:
+    def test_identical_docs_identical_hash(self, spark, docs):
+        rows = docs.select("doc_id", dedup.simhash_chunks("text").alias("h")).collect()
+        by_id = {r["doc_id"]: r["h"] for r in rows}
+        assert by_id[0] == by_id[1]
+
+    def test_near_dup_small_hamming(self):
+        a = dedup._simhash_chunks_batch(
+            ["the quick brown fox jumps over the lazy dog again and again"])[0]
+        b = dedup._simhash_chunks_batch(
+            ["the quick brown fox jumps over the lazy cat again and again"])[0]
+        c = dedup._simhash_chunks_batch(
+            ["completely different text about spark query engines"])[0]
+        def hamming(x, y):
+            return sum(bin(cx ^ cy).count("1") for cx, cy in zip(x, y))
+        assert hamming(a, b) < hamming(a, c)
+
+    def test_candidates_include_identical(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.simhash_candidates(docs, "text", "doc_id").collect()}
+        assert (0, 1) in pairs
+
+
+class TestNgramJaccard:
+    def test_values_match_python_oracle(self, spark, docs):
+        pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               dedup.ngram_jaccard(docs, "text", "doc_id", pairs, shingle_n=2).collect()}
+
+        def oracle(x, y, n=2):
+            def sh(t):
+                tok = t.split()
+                return set(" ".join(tok[i:i + n]) for i in range(len(tok) - n + 1))
+            a, b = sh(x), sh(y)
+            return len(a & b) / max(len(a | b), 1)
+
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for (i, j), val in out.items():
+            assert val == pytest.approx(oracle(texts[i], texts[j]), abs=1e-9)
+
+
+class TestEmbeddingOps:
+    def test_cosine_topk_matches_numpy(self, spark, emb):
+        df, vecs = emb
+        q = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        got = similarity.cosine_topk(df, q, k=5).orderBy("rank").collect()
+        v = vecs.astype(np.float64)
+        sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+        want = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+        assert [r["vec_id"] for r in got] == list(want)
+        assert got[0]["cosine"] == pytest.approx(1.0)
+        assert got[1]["vec_id"] == 1  # scaled copy → cosine 1.0
+
+    def test_ivf_recall_at_full_probe(self, spark, emb):
+        df, _ = emb
+        q = df.filter("vec_id < 2").select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in similarity.cosine_topk(df, q, k=3).collect()}
+        full = {(r["query_id"], r["vec_id"])
+                for r in similarity.ivf_topk(df, q, k=3, n_cells=4, n_probe=4).collect()}
+        assert full == exact  # n_probe == n_cells degrades to exact
+
+    def test_embedding_near_dup_finds_scaled_copy(self, spark, emb):
+        df, _ = emb
+        out = dedup.embedding_near_dup(df, "embedding", "vec_id",
+                                       threshold=0.999, n_planes=4)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (0, 1) in pairs
+
+
+class TestTextStats:
+    def test_token_count(self, spark, docs):
+        got = {r["doc_id"]: r["n"] for r in
+               docs.select("doc_id", textstats.token_count("text").alias("n")).collect()}
+        want = {r["doc_id"]: len(r["text"].split()) for r in docs.collect()}
+        assert got == want
+
+    def test_langid(self, spark, docs):
+        got = {r["doc_id"]: r["l"] for r in
+               docs.select("doc_id", textstats.langid("text").alias("l")).collect()}
+        assert got[0] == "en"
+        assert got[5] == "es"
+        assert got[4] == "und"
+
+    def test_quality_in_unit_interval(self, spark, docs):
+        vals = [r["q"] for r in
+                docs.select(textstats.quality_score("text").alias("q")).collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_fingerprint_stable_and_sensitive(self, spark, docs):
+        rows = docs.select("doc_id", textstats.fingerprint("text").alias("f")).collect()
+        by_id = {r["doc_id"]: r["f"] for r in rows}
+        assert by_id[0] == by_id[1]
+        assert by_id[0] != by_id[3]
+
+    def test_bpe_ish_count(self, spark):
+        df = spark.createDataFrame([(0, "don't stop, it's 42%!")], "id long, t string")
+        n = df.select(textstats.bpe_ish_token_count("t").alias("n")).collect()[0]["n"]
+        # don't | stop | , | it's | 42 | %! → 6
+        assert n == 6
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.make_media_df(spark, 9)
+        feats = multimodal.extract_features(media, fake=True)
+        rows = feats.collect()
+        assert len(rows) == 9
+        for r in rows:
+            assert len(r["feature"]) == 16
+            assert all(0.0 <= x <= 1.0 for x in r["feature"])
+            assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+
+    def test_deterministic(self, spark):
+        media = multimodal.make_media_df(spark, 5)
+        a = multimodal.extract_features(media).orderBy("media_id").collect()
+        b = multimodal.extract_features(media).orderBy("media_id").collect()
+        assert [r["feature"] for r in a] == [r["feature"] for r in b]
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx", fake=False)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"xx", fake=False)
