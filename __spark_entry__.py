@@ -452,7 +452,7 @@ def _embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import embedding_near_dup
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return (
-        embedding_near_dup(emb, "embedding", "vec_id", threshold=0.8, n_planes=6)
+        embedding_near_dup(emb, "embedding", "vec_id", threshold=0.3, n_planes=6)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
