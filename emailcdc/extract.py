@@ -129,11 +129,15 @@ def _walk_multipart(folder: str, rfc_message_id: str | None, parts: list[Message
     """E4 — ``findBody`` (AbstractJavaMailProcessor.java:205-264)."""
     inline_bodies: dict[str, str] = {}
     for part in parts:
-        disposition = (part.get_content_disposition() or "")
-        ct = part.get("Content-Type", part.get_content_type())
+        # raw header reads; get_content_type()/get_content_disposition() walk
+        # the param parser and cost ~30% of the whole parse when used as an
+        # (eagerly-evaluated) default
+        raw_disp = part.get("Content-Disposition")
+        disposition = raw_disp.split(";", 1)[0].strip().lower() if raw_disp else ""
+        ct = part.get("Content-Type") or part.get_content_type()
         part_counter[0] += 1
         idx = part_counter[0]
-        if disposition.lower() == "attachment":
+        if disposition == "attachment":
             raw = part.get_payload(decode=True)
             if raw is None:
                 inner = part.get_payload()
@@ -154,7 +158,7 @@ def _walk_multipart(folder: str, rfc_message_id: str | None, parts: list[Message
                     "_bytes": raw,
                 }
             )
-        elif disposition.lower() == "inline":
+        elif disposition == "inline":
             if ct.startswith("text/plain"):
                 inline_bodies["text/plain"] = _part_text(part)
             elif ct.startswith("text/html"):
@@ -172,8 +176,8 @@ def _walk_multipart(folder: str, rfc_message_id: str | None, parts: list[Message
                         "_bytes": raw,
                     }
                 )
-        elif part.get("Content-Disposition") is None:
-            if part.is_multipart() and not part.get_content_type().startswith("message/"):
+        elif raw_disp is None:
+            if part.is_multipart() and not ct.lower().lstrip().startswith("message/"):
                 _walk_multipart(folder, rfc_message_id, part.get_payload(),
                                 bodies, attachments, part_counter)
             else:
