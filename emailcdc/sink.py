@@ -389,6 +389,34 @@ class SnapshotParquetSink:
         table = pa.Table.from_pydict(cols, schema=arrow_schema)
         pq.write_table(table, path)
 
+    def manifests_df(self) -> DataFrame:
+        """The commit-manifest journal as a DataFrame (control-table view:
+        batch ids, offset ranges, per-batch stats — north rule's metrics).
+        Reads every manifest file, committed or superseded."""
+        import glob
+
+        rows = []
+        for path in sorted(glob.glob(os.path.join(self.root, "manifests", "manifest-*.json"))):
+            with open(path) as fh:
+                m = Manifest.from_json(fh.read())
+            rows.append(
+                {
+                    "snapshot_id": m.snapshot_id,
+                    "batch_id": m.batch_id,
+                    "offset_lo": m.offset_lo,
+                    "offset_hi": m.offset_hi,
+                    "delta_depth": m.delta_depth,
+                    "event_count": m.stats.get("event_count"),
+                    "upsert_count": m.stats.get("upsert_count"),
+                    "delete_count": m.stats.get("delete_count"),
+                    "hot_repos": m.stats.get("hot_repos") or [],
+                }
+            )
+        schema = ("snapshot_id long, batch_id long, offset_lo long, offset_hi long,"
+                  " delta_depth int, event_count long, upsert_count long,"
+                  " delete_count long, hot_repos array<string>")
+        return self.spark.createDataFrame(rows, schema)
+
     # --- maintenance ----------------------------------------------------------
 
     def compact_now(self, batch_id: int) -> Manifest:
