@@ -188,13 +188,32 @@ def _walk_multipart(folder: str, rfc_message_id: str | None, parts: list[Message
         bodies.append({"body": value, "body_type": key})
 
 
-def parse_eml(raw: str, folder: str = "", message_number: int = 0) -> dict:
+def parse_eml(raw: str, folder: str = "", message_number: int = 0,
+              _fast: bool = True) -> dict:
     """Parse one RFC-5322 message → EmailMessage dict (E2/E3/E4/A1/A2).
 
     ``message_number`` reproduces JavaMail ``getMessageNumber()`` (0 for a
     bare EML, 1-based within an mbox).
+
+    Hot path: fastmime (plain string scans — email.feedparser is ~65% of
+    the stdlib parse cost); it bails on anything outside the well-formed
+    common case and we fall back to the stdlib parser.  Differential tests
+    (tests/test_fastmime.py) pin accept-path equality.
     """
+    if _fast:
+        from . import fastmime
+        try:
+            msg = fastmime.parse(raw)
+            return _assemble_message(msg, folder, message_number)
+        except fastmime.FastMimeBail:
+            pass
+        except Exception:  # noqa: BLE001 — never let the fast path change totality
+            pass
     msg = Parser(policy=policy.compat32).parsestr(raw)
+    return _assemble_message(msg, folder, message_number)
+
+
+def _assemble_message(msg, folder: str, message_number: int) -> dict:
 
     subject = msg.get("Subject")
     subject = "" if subject is None or subject.strip() == "" else str(subject)

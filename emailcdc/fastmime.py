@@ -1,0 +1,212 @@
+"""Minimal fast RFC-5322/MIME parser for the extraction hot path.
+
+``email.feedparser`` costs ~65% of the payload parse (cProfile); this
+module parses the common case — well-formed headers, nested multiparts,
+base64/quoted-printable transfer encodings — with plain string scans and
+near-zero intermediate allocation, and **raises FastMimeBail on anything
+it is not 100% sure about**, so the caller (extract.parse_eml) falls back
+to the stdlib parser.  Equivalence on the accept path is enforced by
+differential tests (tests/test_fastmime.py) against the stdlib-backed
+reference implementation over all fixture shapes plus hypothesis-mutated
+variants.
+
+Interface: ``FastPart`` mimics the slice of email.message.Message that
+extract.py uses: get / get_all / items / is_multipart / get_payload /
+get_content_type / get_content_charset.
+"""
+
+from __future__ import annotations
+
+import base64
+import quopri
+import re
+
+__all__ = ["FastMimeBail", "FastPart", "parse"]
+
+_HDR_RE = re.compile(r"^([\x21-\x39\x3b-\x7e]+):[ \t]?(.*)$")
+_CHARSET_RE = re.compile(r'charset="?([A-Za-z0-9_.:+-]+)"?', re.IGNORECASE)
+_BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.IGNORECASE)
+
+
+class FastMimeBail(Exception):
+    """Input outside the fast path — caller must use the stdlib parser."""
+
+
+class FastPart:
+    __slots__ = ("_headers", "_body", "_parts", "_ct")
+
+    def __init__(self, headers: list[tuple[str, str]], body: str | None,
+                 parts: list["FastPart"] | None):
+        self._headers = headers
+        self._body = body
+        self._parts = parts
+        self._ct = None
+
+    # --- header access (email.message.Message compatible subset) -----------
+
+    def get(self, name: str, default=None):
+        lname = name.lower()
+        for k, v in self._headers:
+            if k.lower() == lname:
+                return v
+        return default
+
+    def get_all(self, name: str, default=None):
+        lname = name.lower()
+        out = [v for k, v in self._headers if k.lower() == lname]
+        return out if out else default
+
+    def items(self):
+        return list(self._headers)
+
+    # --- structure -----------------------------------------------------------
+
+    def is_multipart(self) -> bool:
+        return self._parts is not None
+
+    def get_payload(self, decode: bool = False):
+        if self._parts is not None:
+            if decode:
+                return None  # stdlib returns None for multipart+decode
+            return self._parts
+        if not decode:
+            return self._body
+        cte = (self.get("Content-Transfer-Encoding") or "").strip().lower()
+        raw = self._body or ""
+        if cte in ("", "7bit", "8bit", "binary"):
+            # stdlib encodes str payloads with raw-unicode-escape here
+            return raw.encode("ascii", "surrogateescape") if raw.isascii() \
+                else raw.encode("raw_unicode_escape")
+        if cte == "base64":
+            try:
+                return base64.b64decode(raw, validate=False)
+            except Exception as exc:  # noqa: BLE001
+                raise FastMimeBail(f"bad base64: {exc}") from exc
+        if cte == "quoted-printable":
+            return quopri.decodestring(raw.encode("ascii", "replace"))
+        raise FastMimeBail(f"unsupported CTE {cte!r}")
+
+    def get_content_type(self) -> str:
+        ct = self.get("Content-Type")
+        if ct is None:
+            return "text/plain"
+        main = ct.split(";", 1)[0].strip().lower()
+        if "/" not in main:
+            raise FastMimeBail(f"odd content type {ct!r}")
+        return main
+
+    def get_content_charset(self):
+        ct = self.get("Content-Type")
+        if not ct:
+            return None
+        m = _CHARSET_RE.search(ct)
+        return m.group(1).lower() if m else None
+
+
+def _split_headers(text: str, start: int) -> tuple[list[tuple[str, str]], int]:
+    """Parse folded headers from ``start``; returns (headers, body_start)."""
+    headers: list[tuple[str, str]] = []
+    i = start
+    n = len(text)
+    prev_sep = "\n"
+    while i < n:
+        j = text.find("\n", i)
+        if j < 0:
+            j = n
+        line = text[i:j]
+        sep = "\n"
+        if line.endswith("\r"):
+            line = line[:-1]
+            sep = "\r\n"
+        if line == "":
+            return headers, j + 1
+        if line[0] in " \t":
+            # folding: stdlib keeps the embedded line terminator in the value
+            if not headers:
+                raise FastMimeBail("continuation before first header")
+            k, v = headers[-1]
+            headers[-1] = (k, v + prev_sep + line)
+            prev_sep = sep
+            i = j + 1
+            continue
+        prev_sep = sep
+        m = _HDR_RE.match(line)
+        if not m:
+            # stdlib treats a non-header line as the start of the body
+            # (missing-blank-line defect) — bail, let stdlib decide
+            raise FastMimeBail(f"unparseable header line {line[:40]!r}")
+        headers.append((m.group(1), m.group(2)))
+        i = j + 1
+    return headers, n  # headers only, no body
+
+
+def _parse_entity(text: str, start: int, end: int, depth: int = 0) -> FastPart:
+    if depth > 8:
+        raise FastMimeBail("nesting too deep")
+    headers, body_start = _split_headers(text, start)
+    body = text[body_start:end]
+    ct = None
+    for k, v in headers:
+        if k.lower() == "content-type":
+            ct = v
+            break
+    if ct is not None and ct.split("/", 1)[0].strip().lower() == "multipart":
+        m = _BOUNDARY_RE.search(ct)
+        if not m:
+            raise FastMimeBail("multipart without boundary")
+        boundary = m.group(1)
+        parts = _split_multipart(text, body_start, end, boundary, depth)
+        return FastPart(headers, None, parts)
+    return FastPart(headers, body, None)
+
+
+def _split_multipart(text: str, start: int, end: int, boundary: str,
+                     depth: int) -> list[FastPart]:
+    open_marker = "--" + boundary
+    # collect boundary-line offsets (must start a line)
+    offsets: list[tuple[int, bool]] = []  # (line_start, is_closing)
+    i = start
+    while i < end:
+        j = text.find(open_marker, i)
+        if j < 0 or j >= end:
+            break
+        line_ok = j == 0 or text[j - 1] == "\n"
+        after = j + len(open_marker)
+        closing = text[after:after + 2] == "--"
+        line_end = text.find("\n", j)
+        if line_end < 0:
+            line_end = end
+        tail = text[after + (2 if closing else 0):line_end].strip("\r ")
+        if line_ok and tail == "":
+            offsets.append((j, closing))
+            if closing:
+                break
+        i = line_end + 1
+    if len(offsets) < 2:
+        raise FastMimeBail("too few boundary markers")
+    parts: list[FastPart] = []
+    for (b0, closing0), (b1, _c1) in zip(offsets, offsets[1:]):
+        if closing0:
+            break
+        part_start = text.find("\n", b0)
+        if part_start < 0:
+            raise FastMimeBail("boundary without newline")
+        part_start += 1
+        # the part body ends just before the next boundary line (strip the
+        # preceding CRLF, which belongs to the boundary per RFC 2046)
+        part_end = b1
+        if part_end > part_start and text[part_end - 1] == "\n":
+            part_end -= 1
+            if part_end > part_start and text[part_end - 1] == "\r":
+                part_end -= 1
+        parts.append(_parse_entity(text, part_start, part_end, depth + 1))
+    if not offsets[-1][1]:
+        raise FastMimeBail("unterminated multipart")
+    return parts
+
+
+def parse(raw: str) -> FastPart:
+    """Parse a full message; raises FastMimeBail outside the fast path."""
+    if "\x00" in raw:
+        raise FastMimeBail("NUL in input")
+    return _parse_entity(raw, 0, len(raw))

@@ -1,0 +1,106 @@
+"""Differential tests: fastmime-backed parse_eml must produce EXACTLY the
+same EmailMessage dict as the stdlib-backed reference path on every input
+it accepts (on bail it falls back, so totality is covered elsewhere)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emailcdc import fastmime
+from emailcdc.extract import parse_eml
+from emailcdc.fixtures import make_eml, make_mbox
+from emailcdc.extract import split_mbox
+
+
+def _differential(raw):
+    fast = parse_eml(raw, folder="f", message_number=3, _fast=True)
+    slow = parse_eml(raw, folder="f", message_number=3, _fast=False)
+    assert fast == slow, f"divergence on:\n{raw[:400]!r}"
+
+
+FIXTURES = (
+    [make_eml(i) for i in range(8)]
+    + [make_eml(3, multipart=False),
+       make_eml(4, subject=None),
+       make_eml(5, n_inline_images=0, n_attachments=0),
+       make_eml(6, n_inline_images=3, n_attachments=2),
+       make_eml(7, sender="bare{n}@example.org"),
+       make_eml(8, recipients=("a@x.org", '"B, Jr." <b@x.org>', "c@x.org"))]
+    + split_mbox(make_mbox(20))
+)
+
+
+class TestDifferential:
+    @pytest.mark.parametrize("idx", range(len(FIXTURES)))
+    def test_fixture_parity(self, idx):
+        _differential(FIXTURES[idx])
+
+    def test_quirk_messages(self):
+        cases = [
+            "From: a@b.c\r\nin-reply-to: <x@y>\r\n\r\nbody\r\n",
+            "From: a@b.c\r\nIn-Reply-To: <x@y>\r\n\r\nbody\r\n",
+            "From: a@b.c\r\nX-Dup: one\r\nX-Dup: two\r\n\r\nbody\r\n",
+            "To: a@b.c\r\nSubject: x\r\n\r\nbody\r\n",  # no From
+            # inline text quirk
+            ("From: a@b.c\r\nContent-Type: multipart/mixed; boundary=B\r\n\r\n"
+             "--B\r\nContent-Type: text/plain\r\nContent-Disposition: inline\r\n"
+             "\r\ninline plain\r\n--B\r\nContent-Type: text/html\r\n"
+             "Content-Disposition: inline\r\n\r\n<p>x</p>\r\n--B--\r\n"),
+            # attachment without name
+            ("From: a@b.c\r\nMessage-ID: <m@x>\r\n"
+             "Content-Type: multipart/mixed; boundary=B\r\n\r\n"
+             "--B\r\nContent-Type: application/octet-stream\r\n"
+             "Content-Disposition: attachment\r\n\r\nblob\r\n--B--\r\n"),
+            # quoted-printable body
+            ("From: a@b.c\r\nContent-Type: text/plain\r\n"
+             "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+             "caf=C3=A9 body=\r\ncontinued\r\n"),
+            # LF-only message
+            "From: a@b.c\nSubject: lf only\n\nplain lf body\n",
+            # folded subject header
+            "From: a@b.c\r\nSubject: part one\r\n  part two\r\n\r\nbody\r\n",
+        ]
+        for raw in cases:
+            _differential(raw)
+
+    @given(st.integers(0, 2**31 - 1), st.integers(0, 3), st.integers(0, 3),
+           st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_generated_parity(self, seq, n_img, n_att, multipart):
+        _differential(make_eml(seq % 5000, n_inline_images=n_img,
+                               n_attachments=n_att, multipart=multipart))
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_arbitrary_text_parity_or_bail(self, raw):
+        # for arbitrary garbage: either fastmime bails (fallback → equal by
+        # construction) or its output must match the stdlib path
+        try:
+            fastmime.parse(raw)
+        except Exception:  # bail → fallback used; nothing to compare
+            return
+        _differential(raw)
+
+
+class TestFastPartUnits:
+    def test_base64_roundtrip(self):
+        raw = ("Content-Type: application/octet-stream\r\n"
+               "Content-Transfer-Encoding: base64\r\n\r\nYWJjZGVm\r\n")
+        part = fastmime.parse(raw)
+        assert part.get_payload(decode=True) == b"abcdef"
+
+    def test_multipart_structure(self):
+        raw = make_eml(2)
+        part = fastmime.parse(raw)
+        assert part.is_multipart()
+        inner = part.get_payload()
+        assert inner[0].get_content_type() == "multipart/related"
+
+    def test_bails_on_missing_boundary(self):
+        raw = "Content-Type: multipart/mixed\r\n\r\nbody"
+        with pytest.raises(fastmime.FastMimeBail):
+            fastmime.parse(raw)
+
+    def test_charset(self):
+        raw = 'Content-Type: text/plain; charset="ISO-8859-1"\r\n\r\nx'
+        assert fastmime.parse(raw).get_content_charset() == "iso-8859-1"
