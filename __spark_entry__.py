@@ -263,6 +263,129 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def _q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q17 shape: lineitems below 20% of their part's average
+    quantity — the correlated subquery expressed as a window."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy()
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+) WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    dims = F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey)
+                       .select("n_nationkey", "n_name", "r_name"))
+    joined = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+              .join(dims, cust.c_nationkey == F.col("n_nationkey")))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                "revenue")
+        .orderBy("region", "nation")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+def _semi_anti_customers(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                            "left_semi")
+    without_orders = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                               "left_anti")
+    return (
+        with_orders.agg(F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("with_orders"))
+        .unionByName(
+            without_orders.agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("kind", F.lit("without_orders")))
+        .select("kind", "n").orderBy("kind")
+    )
+
+
+_SEMI_ANTI_SQL = """
+SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'without_orders', count(*) FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY kind
+"""
+
+
+def _monthly_event_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+                   .alias("month"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("month", "event_type")
+    )
+
+
+_MONTHLY_SQL = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY month, event_type
+"""
+
+
+def _value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -609,6 +732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _events_by_type,
         "lww_last_event_per_user": _lww_last_event_per_user,
         "address_split_customers": _address_split_customers,
+        "q17_small_quantity": _q17_small_quantity,
+        "rollup_revenue": _rollup_revenue,
+        "semi_anti_customers": _semi_anti_customers,
+        "monthly_event_stats": _monthly_event_stats,
+        "value_percentiles": _value_percentiles,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "token_stats_documents": _token_stats_documents,
@@ -641,6 +769,11 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": _EVENTS_SQL,
         "lww_last_event_per_user": _LWW_SQL,
         "address_split_customers": _ADDR_SQL,
+        "q17_small_quantity": _Q17_SQL,
+        "rollup_revenue": _ROLLUP_SQL,
+        "semi_anti_customers": _SEMI_ANTI_SQL,
+        "monthly_event_stats": _MONTHLY_SQL,
+        "value_percentiles": _PERCENTILE_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "token_stats_documents": _TOKENS_SQL,
         "quality_documents": _QUALITY_SQL,
