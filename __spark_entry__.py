@@ -386,6 +386,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min) — the batch variant of the
+    applyInPandasWithState streaming operator (ops/sessions.py)."""
+    from emailcdc.ops.sessions import sessionize
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = sessionize(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.col("start_ts").cast("timestamp").cast("long").alias("start_s"),
+        F.col("end_ts").cast("timestamp").cast("long").alias("end_s"),
+        "total_value",
+    ).orderBy("user_id", "session_idx")
+
+
+_SESSIONS_SQL = """
+SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+       round(sum(value), 2) AS total_value
+FROM (
+  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM (
+    SELECT *, CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                     (PARTITION BY user_id ORDER BY ts) > 1800
+                   THEN 1 ELSE 0 END AS gap
+    FROM events
+  )
+)
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -737,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_customers": _semi_anti_customers,
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
+        "user_sessions": _user_sessions,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "token_stats_documents": _token_stats_documents,
@@ -774,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_customers": _SEMI_ANTI_SQL,
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
+        "user_sessions": _SESSIONS_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "token_stats_documents": _TOKENS_SQL,
         "quality_documents": _QUALITY_SQL,

@@ -1,0 +1,134 @@
+"""Sessionization: gap-based user sessions over an event stream.
+
+Two implementations of the same semantics (events of one user belong to
+the same session while consecutive gaps are < ``gap``):
+
+- ``sessionize`` — batch: lag window → gap flags → running sum as session
+  index → aggregate.  Pure Catalyst; DuckDB-oracle-expressible.
+- ``sessionize_stream`` — streaming: ``applyInPandasWithState`` keeps one
+  open session per user across micro-batches (GroupStateTimeout on the
+  processing clock flushes idle users) — the custom-stateful-operator
+  pattern (SURVEY.md §2.2 streaming row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType, TimestampType,
+)
+
+SESSION = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_idx", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("start_ts", TimestampType(), True),
+        StructField("end_ts", TimestampType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Batch sessionization (one shuffle on user_id; both windows share it)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    with_gap = events.withColumn(
+        "_gap",
+        F.when(
+            F.col(ts_col).cast("timestamp").cast("long")
+            - F.lag(F.col(ts_col).cast("timestamp").cast("long")).over(w)
+            > gap_minutes * 60,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_session = with_gap.withColumn(
+        "session_idx",
+        F.sum("_gap").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_session.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+    )
+
+
+def _stream_fn(gap_minutes: int):
+    gap_s = gap_minutes * 60
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                idx, n, start, end, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [{"user_id": user_id, "session_idx": idx, "n_events": n,
+                      "start_ts": pd.Timestamp(start, unit="us"),
+                      "end_ts": pd.Timestamp(end, unit="us"),
+                      "total_value": round(total, 2)}]
+                )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            idx, n, start, end, total = state.get
+        else:
+            idx, n, start, end, total = 0, 0, None, None, 0.0
+        out = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if n and ts_us - end > gap_s * 1_000_000:
+                out.append({"user_id": user_id, "session_idx": idx,
+                            "n_events": n,
+                            "start_ts": pd.Timestamp(start, unit="us"),
+                            "end_ts": pd.Timestamp(end, unit="us"),
+                            "total_value": round(total, 2)})
+                idx, n, start, end, total = idx + 1, 0, None, None, 0.0
+            if n == 0:
+                start = ts_us
+            n += 1
+            end = ts_us
+            total += float(value)
+        state.update((idx, n, start, end, total))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return update
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization with applyInPandasWithState: emits a session
+    row when a user's gap closes it (or the state times out).  ``events``
+    must be a streaming DataFrame with (user_id, ts, value)."""
+    state_schema = StructType(
+        [
+            StructField("session_idx", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _stream_fn(gap_minutes),
+            outputStructType=SESSION,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
