@@ -420,6 +420,42 @@ ORDER BY user_id, session_idx
 """
 
 
+def _asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no native Spark op — union+window formulation in
+    ops/asof.py): each event picks the user's latest order at-or-before
+    the event time; DuckDB's native ASOF JOIN is the oracle."""
+    from emailcdc.ops.asof import asof_join
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", F.col("user_id"), F.col("ts").cast("timestamp").alias("t"))
+    # dedupe same-(custkey, orderdate) orders deterministically
+    orders = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(ev, orders, on="t", by="user_id",
+                    value_cols=["o_orderkey"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("t").cast("long").alias("event_s"),
+        F.col("o_orderkey_right").alias("latest_orderkey"),
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS event_s,
+       r.o_orderkey AS latest_orderkey
+FROM events l
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+) r ON l.user_id = r.o_custkey AND l.ts >= r.o_orderdate
+ORDER BY l.event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -772,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
+        "asof_latest_order": _asof_latest_order,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "token_stats_documents": _token_stats_documents,
@@ -810,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
+        "asof_latest_order": _ASOF_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "token_stats_documents": _TOKENS_SQL,
         "quality_documents": _QUALITY_SQL,

@@ -198,3 +198,28 @@ class TestMultimodal:
             multimodal.decode_image(b"xx", fake=False)
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(b"xx", fake=False)
+
+
+class TestAsofJoin:
+    def test_semantics(self, spark):
+        from emailcdc.ops.asof import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "l3")],
+            "k long, t long, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+            "k long, t long, v double")
+        out = {r["tag"]: r["v_right"] for r in
+               asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()}
+        assert out == {"l0": None,   # nothing at or before t=5
+                       "l1": 100.0,  # exact-timestamp match visible (>=)
+                       "l2": 150.0,  # latest before 20
+                       "l3": None}   # right row is in the future
+
+    def test_all_left_rows_preserved(self, spark):
+        from emailcdc.ops.asof import asof_join
+        left = spark.range(50).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("t"))
+        right = spark.createDataFrame([(0, 10, 1.0)], "k long, t long, v double")
+        out = asof_join(left, right, on="t", by="k", value_cols=["v"])
+        assert out.count() == 50
