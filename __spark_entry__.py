@@ -456,6 +456,24 @@ ORDER BY l.event_id
 """
 
 
+def _windowed_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (ops/windows.py — the batch
+    analog of the watermarked streaming aggregation)."""
+    from emailcdc.ops.windows import windowed_counts
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed_counts(ev, window="10 minutes").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
+        "event_type", "n", "total_value",
+    ).orderBy("w_start", "event_type")
+
+
+_WINDOWED_SQL = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
         "asof_latest_order": _asof_latest_order,
+        "windowed_event_counts": _windowed_event_counts,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "token_stats_documents": _token_stats_documents,
@@ -848,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
         "asof_latest_order": _ASOF_SQL,
+        "windowed_event_counts": _WINDOWED_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "token_stats_documents": _TOKENS_SQL,
         "quality_documents": _QUALITY_SQL,
