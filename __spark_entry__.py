@@ -7,12 +7,16 @@ snapshot table.
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2);
 each callable takes (spark, sf_dir) → DataFrame.
 
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents.  Payload/CDC
-queries that synthesize their own fixture input get VALUES-literal oracles
-computed by the *pure-Python* reference path (fixtures + sequential
-replay), independent of the Spark engine under test.  Genuinely
-non-SQL-expressible ops (MinHash LSH, SimHash, IVF ANN, fingerprints,
-multimodal) omit the oracle → driver records the weaker rows-only check.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for ALL queries.
+Payload/CDC queries that synthesize their own fixture input get
+VALUES-literal oracles computed by the *pure-Python* reference path
+(fixtures + sequential replay), independent of the Spark engine under
+test.  Hash-built ops (fingerprint, SimHash, hyperplane LSH, IVF seeding)
+are built on sha256 — the one hash primitive Spark and DuckDB share
+bit-for-bit — so their oracles re-derive the full computation in SQL;
+MinHash near-dup's oracle is the EXACT all-pairs Jaccard (LSH recall is 1
+at the query's threshold on this corpus, so any recall or verification bug
+breaks the hash).
 """
 
 from __future__ import annotations
@@ -40,15 +44,34 @@ def entry(spark: SparkSession) -> DataFrame:
     events = make_change_events(24)
     edf = spark.createDataFrame(events, schema=schemas.CHANGE_EVENTS)
     root = tempfile.mkdtemp(prefix="emailcdc_entry_")
+    # materialize to a dir that outlives this function: at real scale the
+    # snapshot doesn't fit on the driver, so no .collect() — write parquet
+    # and hand back the file-backed frame (the caller collects if it wants)
+    out_dir = tempfile.mkdtemp(prefix="emailcdc_entry_out_")
     try:
         engine = CdcEngine(spark, SnapshotParquetSink(spark, root, n_buckets=8))
         engine.replay(edf, batch_size=100_000)
-        snap = engine.table("snapshot").orderBy("repo", "path")
-        # materialize before the temp sink dir goes away
-        out = spark.createDataFrame(snap.collect(), schema=snap.schema)
-        return out
+        engine.table("snapshot").write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("repo", "path")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _dsum(col, scale: int = 2):
+    """Deterministic rounded sum of a double expression: quantize each value
+    to decimal(18,6) (exact integer arithmetic from there), round, and
+    return double.  Plain round(sum(double), 2) is order-dependent in the
+    last ulp, so a value landing on a half-cent boundary can round
+    differently between runs/plans — this showed up as a run-dependent hash
+    mismatch on user_sessions in round 1."""
+    return F.round(F.sum(col.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 6):
+    """Deterministic rounded mean: exact decimal sum → double → / count."""
+    return F.round(
+        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+        scale)
 
 
 # --------------------------------------------------------------------------
@@ -61,24 +84,26 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
+# DEC/AVG6: DuckDB mirrors of _dsum/_davg — quantize to decimal(18,6),
+# exact sum, deterministic rounding (see _dsum docstring)
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                              AS sum_qty,
-       round(sum(l_extendedprice), 2)                         AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-       round(avg(l_quantity), 6)                              AS avg_qty,
-       round(avg(l_discount), 6)                              AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -97,7 +122,7 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
               orders.o_custkey == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < "1998-03-15")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -106,7 +131,7 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -132,7 +157,7 @@ def _q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(dims, cust.c_nationkey == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy("r_name", "n_name")
@@ -141,7 +166,7 @@ def _q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -202,16 +227,17 @@ def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"),
-             F.round(F.avg("value"), 6).alias("avg_value"),
+             _dsum(F.col("value")).alias("total_value"),
+             _davg(F.col("value")).alias("avg_value"),
              F.count_distinct(F.col("user_id")).alias("n_users"))
         .orderBy("event_type")
     )
 
 
 _EVENTS_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
-       round(avg(value), 6) AS avg_value,
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -272,13 +298,14 @@ def _q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
         li.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .groupBy()
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                     .cast("double") / 7.0, 2).alias("avg_yearly"),
              F.count(F.lit(1)).alias("n_rows"))
     )
 
 
 _Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
 FROM (
   SELECT l_extendedprice, l_quantity,
          avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
@@ -298,7 +325,7 @@ def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
               .join(dims, cust.c_nationkey == F.col("n_nationkey")))
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
         .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
                 F.coalesce("n_name", F.lit("ALL")).alias("nation"),
                 "revenue")
@@ -308,7 +335,7 @@ def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 _ROLLUP_SQL = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -350,14 +377,15 @@ def _monthly_event_stats(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
                    .alias("month"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             _dsum(F.col("value")).alias("total_value"))
         .orderBy("month", "event_type")
     )
 
 
 _MONTHLY_SQL = """
 SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY month, event_type
 """
 
@@ -404,7 +432,7 @@ _SESSIONS_SQL = """
 SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM (
   SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS session_idx
@@ -469,7 +497,8 @@ def _windowed_event_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 _WINDOWED_SQL = """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_start,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 """
 
@@ -553,6 +582,23 @@ FROM t ORDER BY doc_id
 """
 
 
+# --- shared DuckDB SQL fragments ------------------------------------------
+# hash60 (textstats.hash60): sha256 is the one hash primitive Spark and
+# DuckDB share bit-for-bit; 15 hex chars = 60 bits inside a signed long.
+_DUCK_HASH60 = "CAST('0x' || substr(sha256({s}), 1, 15) AS BIGINT)"
+# Catalyst tokens(): F.split(F.trim(text), '\\s+')
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB mirror of textstats.shingles(col, n) over a ``toks`` column."""
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(range(len(toks) - {n - 1}), "
+        f"i -> array_to_string(array_slice(toks, i + 1, i + {n}), ' ')) END"
+    )
+
+
 def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import langid
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -563,10 +609,39 @@ def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _langid_oracle() -> str:
+    """DuckDB mirror of textstats.langid: stopword-hit scores per language,
+    ties broken by the fixed en,es,de,fr,zh order, no hits → 'und'."""
+    from emailcdc.ops.textstats import _STOPWORDS
+    score_cols = []
+    for lang, ws in _STOPWORDS.items():
+        lits = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(f"len(list_intersect(toks, [{lits}])) AS s_{lang}")
+    langs = list(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT {', '.join(score_cols)} FROM t)
+SELECT lang_pred, count(*) AS n FROM (SELECT {case} AS lang_pred FROM s)
+GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 def _fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import fingerprint
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_duck_shingles(5)} AS sh FROM t)
+SELECT doc_id,
+       list_min(list_transform(sh, s -> {_DUCK_HASH60.format(s='s')})) AS fingerprint
+FROM s ORDER BY doc_id
+"""
 
 
 def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -579,12 +654,59 @@ def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Oracle = EXACT all-pairs 5-gram Jaccard ≥ threshold.  The LSH output
+# equals it when banding recall is 1 at this threshold — verified to hold
+# on the driver's documents table (near-dup pairs there sit at j ≥ 0.7,
+# where 8 bands × 8 rows catch everything); the oracle is thus a true
+# semantic check: any recall loss or verification bug breaks the hash.
+_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_duck_shingles(5)}) AS sh FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) * 1.0
+               / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signatures as FOUR SCALAR 15-bit chunk columns (an
+    array<long> output crashes the driver's pandas canonicalizer —
+    CORRECTNESS_r01 simhash err)."""
     from emailcdc.ops.dedup import simhash_chunks
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ch = simhash_chunks("text")
     return docs.select(
-        "doc_id", simhash_chunks("text").alias("simhash_chunks")
+        "doc_id",
+        *[F.element_at(ch, i + 1).alias(f"chunk{i}") for i in range(4)],
     ).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    """DuckDB mirror of dedup._simhash_chunks_batch: 60-bit SimHash from
+    per-token hash60 values, bit-majority, 4 chunks of 15 bits.  Tokens
+    mirror Python str.split() (whitespace runs, no empties)."""
+    chunk_cols = ", ".join(
+        f"CAST(list_sum(list_transform(range(15), j -> bits[{c} * 15 + j + 1] * (1 << j))) AS BIGINT) AS chunk{c}"
+        for c in range(4)
+    )
+    h60 = _DUCK_HASH60.format(s="tok")
+    return f"""
+WITH t AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+           FROM documents),
+h AS (SELECT doc_id, list_transform(toks, tok -> {h60}) AS hs FROM t),
+m AS (SELECT doc_id,
+      CASE WHEN len(hs) = 0 THEN list_transform(range(60), b -> 0)
+           ELSE list_transform(range(60), b -> CASE WHEN
+                list_sum(list_transform(hs, h ->
+                    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN 1 ELSE 0 END)
+      END AS bits FROM h)
+SELECT doc_id, {chunk_cols} FROM m ORDER BY doc_id
+"""
 
 
 def _ngram_jaccard_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -599,6 +721,17 @@ def _ngram_jaccard_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+_NGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_duck_shingles(3)}) AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+         / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < 20 AND b.doc_id >= 20 AND b.doc_id < 40
+ORDER BY id_a, id_b
+"""
 
 
 def _embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
@@ -659,14 +792,88 @@ def _ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Full independent IVF re-derivation in SQL: sha256-seeded centroid pick,
+# nearest-cell assignment (sims rounded to 9 dp, ties → lowest cell — the
+# exact contract of similarity._assign_cells), n_probe cells per query,
+# exact cosine top-k within the probed cells.
+_IVF_SQL = """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+vn AS (SELECT vec_id, e,
+              sqrt(list_dot_product(e, e)) AS nrm,
+              list_transform(e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS en
+       FROM v),
+cent AS (SELECT row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, en
+         FROM vn
+         QUALIFY row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+ca AS (SELECT vec_id, cell FROM (
+         SELECT vn.vec_id, cent.cell,
+                row_number() OVER (PARTITION BY vn.vec_id
+                    ORDER BY round(list_dot_product(vn.en, cent.en), 9) DESC, cent.cell) AS rn
+         FROM vn CROSS JOIN cent) WHERE rn = 1),
+qa AS (SELECT vec_id AS query_id, cell FROM (
+         SELECT vn.vec_id, cent.cell,
+                row_number() OVER (PARTITION BY vn.vec_id
+                    ORDER BY round(list_dot_product(vn.en, cent.en), 9) DESC, cent.cell) AS rn
+         FROM vn CROSS JOIN cent WHERE vn.vec_id < 3) WHERE rn <= 4),
+scored AS (SELECT c.query_id, c.vec_id,
+                  round(list_dot_product(q.e, t.e) / greatest(q.nrm * t.nrm, 1e-12), 6) AS cosine
+           FROM (SELECT qa.query_id, ca.vec_id FROM qa JOIN ca USING (cell)) c
+           JOIN vn q ON q.vec_id = c.query_id
+           JOIN vn t ON t.vec_id = c.vec_id)
+SELECT query_id, vec_id, round(cosine, 3) AS cosine_r, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import embedding_near_dup
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return (
-        embedding_near_dup(emb, "embedding", "vec_id", threshold=0.3, n_planes=6)
+        embedding_near_dup(emb, "embedding", "vec_id", threshold=0.3,
+                           dim=64, n_tables=6, n_bits=8)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _embedding_near_dup_oracle() -> str:
+    """DuckDB mirror of dedup.embedding_near_dup: the identical sha256-seeded
+    ±1 hyperplanes (literal weight arrays), per-table bucket fold (bit 0 is
+    the MSB), union of per-table bucket collisions, exact-cosine filter."""
+    from emailcdc.ops.dedup import hyperplane_weights
+    ws = hyperplane_weights(42, 6, 8, 64)
+    bucket_cols = []
+    for t in range(6):
+        terms = []
+        for b in range(8):
+            arr = "[" + ", ".join(f"{x:.1f}" for x in ws[t][b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {arr}) > 0 THEN 1 ELSE 0 END) * {1 << (7 - b)}")
+        bucket_cols.append("(" + " + ".join(terms) + f") AS bucket_{t}")
+    pair_selects = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b "
+        f"ON a.bucket_{t} = b.bucket_{t} AND a.vec_id < b.vec_id"
+        for t in range(6)
+    )
+    return f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+bkt AS (SELECT vec_id, {', '.join(bucket_cols)} FROM v),
+p AS ({pair_selects}),
+scored AS (SELECT p.id_a, p.id_b,
+                  list_dot_product(a.e, b.e)
+                    / greatest(sqrt(list_dot_product(a.e, a.e))
+                             * sqrt(list_dot_product(b.e, b.e)), 1e-12) AS cos
+           FROM p JOIN v a ON a.vec_id = p.id_a JOIN v b ON b.vec_id = p.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.3
+ORDER BY id_a, id_b
+"""
 
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -677,6 +884,21 @@ def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         .select("media_id", "kind", "n_bytes", "sha256")
         .orderBy("media_id")
     )
+
+
+def _multimodal_oracle_values() -> str:
+    """Pure-Python replication of make_media_df(24) + the n_bytes/sha256
+    features — independent of the Spark mapInPandas path under test."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(24):
+        kind = kinds[i % 3]
+        data = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 5)
+        rows.append(f"(CAST({i} AS BIGINT), '{kind}', "
+                    f"CAST({len(data)} AS BIGINT), "
+                    f"'{hashlib.sha256(data).hexdigest()}')")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(media_id, kind, n_bytes, sha256) ORDER BY media_id")
 
 
 # --------------------------------------------------------------------------
@@ -779,14 +1001,17 @@ def _cdc_final_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     events = make_change_events(24)
     edf = spark.createDataFrame(events, schema=schemas.CHANGE_EVENTS)
     root = tempfile.mkdtemp(prefix="emailcdc_q_")
+    out_dir = tempfile.mkdtemp(prefix="emailcdc_q_out_")
     try:
         engine = CdcEngine(spark, SnapshotParquetSink(spark, root, n_buckets=8))
         engine.replay(edf, batch_size=40)  # multiple batches
-        snap = engine.table("snapshot").select(
+        # no driver collect: stage to a dir that outlives the sink (the
+        # snapshot wouldn't fit on the driver at real scale)
+        engine.table("snapshot").select(
             "repo", "path", "commit", "content_sha256",
             F.col("last_offset").cast("long").alias("last_offset"),
-        ).orderBy("repo", "path")
-        return spark.createDataFrame(snap.collect(), schema=snap.schema)
+        ).write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir).orderBy("repo", "path")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -873,11 +1098,19 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": _QUALITY_SQL,
         "embedding_norms": _NORMS_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        # sha256 is the shared Spark/DuckDB hash primitive, so the hash-built
+        # ops are fully re-derivable in SQL (see _DUCK_HASH60)
+        "langid_documents": _langid_oracle(),
+        "fingerprint_documents": _FINGERPRINT_SQL,
+        "minhash_near_dups": _MINHASH_SQL,
+        "simhash_documents": _simhash_oracle(),
+        "ngram_jaccard_sample": _NGRAM_SQL,
+        "ivf_ann_topk": _IVF_SQL,
+        "embedding_near_dups": _embedding_near_dup_oracle(),
+        "multimodal_features": _multimodal_oracle_values(),
         # fixture/engine queries: VALUES oracles from the pure-Python path
         "eml_message_stats": _eml_oracle_values(),
         "mbox_message_counts": _MBOX_ORACLE,
         "ics_calendar_entries": _ics_oracle_values(),
         "cdc_final_snapshot": _cdc_oracle_values(),
-        # langid/fingerprint/minhash/simhash/ngram/ivf/near-dup/multimodal:
-        # non-SQL-expressible (xxhash64 / LSH / pandas UDF) → rows-only check
     }

@@ -87,11 +87,18 @@ class CdcEngine:
         manifest = self.sink.read_manifest()
         return (manifest.batch_id + 1) if manifest else 1
 
+    def last_epoch(self) -> int | None:
+        """Highest streaming epoch applied to this sink (stream-idempotence
+        watermark, independent of batch/snapshot ids)."""
+        manifest = self.sink.read_manifest()
+        return manifest.last_epoch if manifest else None
+
     # --- one micro-batch --------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
                     offset_lo: int | None = None,
-                    offset_hi: int | None = None) -> BatchResult:
+                    offset_hi: int | None = None,
+                    epoch: int | None = None) -> BatchResult:
         timing = os.environ.get("EMAILCDC_TIMING") == "1"
         t_last = [time.time()]
 
@@ -229,6 +236,7 @@ class CdcEngine:
                 marks=winners.select(
                     *KEY, F.lit(batch_id).cast("long").alias("_seq"),
                     (F.col("op") == "D").alias("is_delete")),
+                epoch=epoch,
             )
             _mark("commit")
             return BatchResult(batch_id, offset_lo, offset_hi,

@@ -83,7 +83,13 @@ class FastPart:
             except Exception as exc:  # noqa: BLE001
                 raise FastMimeBail(f"bad base64: {exc}") from exc
         if cte == "quoted-printable":
-            return quopri.decodestring(raw.encode("ascii", "replace"))
+            # match the stdlib: encode surviving non-ASCII chars the same way
+            # the 7bit branch does (ascii+surrogateescape, else
+            # raw-unicode-escape), NOT ascii/'replace' which turns them
+            # into '?' and changes body text / attachment hashes
+            enc = (raw.encode("ascii", "surrogateescape") if raw.isascii()
+                   else raw.encode("raw_unicode_escape"))
+            return quopri.decodestring(enc)
         raise FastMimeBail(f"unsupported CTE {cte!r}")
 
     def get_content_type(self) -> str:
@@ -150,7 +156,12 @@ def _parse_entity(text: str, start: int, end: int, depth: int = 0) -> FastPart:
         if k.lower() == "content-type":
             ct = v
             break
-    if ct is not None and ct.split("/", 1)[0].strip().lower() == "multipart":
+    main_type = (ct or "").split("/", 1)[0].strip().lower()
+    if main_type == "message":
+        # message/rfc822 parts are structured (stdlib nests a full Message;
+        # the walk in extract.py special-cases them) — outside the fast path
+        raise FastMimeBail("message/* part")
+    if ct is not None and main_type == "multipart":
         m = _BOUNDARY_RE.search(ct)
         if not m:
             raise FastMimeBail("multipart without boundary")

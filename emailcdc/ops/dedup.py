@@ -107,14 +107,38 @@ def minhash_signature(col, n_hashes: int = 64, shingle_n: int = 5) -> Column:
     return _udf(F.col(col) if isinstance(col, str) else col)
 
 
+def _drop_oversized_buckets(banded: DataFrame, keys: list[str],
+                            max_bucket: int | None) -> DataFrame:
+    """Remove rows of degenerate LSH buckets (> max_bucket members).
+
+    A degenerate bucket (e.g. every empty-text doc shares one signature)
+    makes the within-bucket self-join quadratic; at 10^9 docs one such
+    bucket is a job-killer.  Members of a bucket that large are
+    overwhelmingly mutual near-dups discoverable through their OTHER
+    bands, so dropping the bucket (not the docs) bounds the join at
+    O(max_bucket²) pairs per bucket with negligible recall cost.  The
+    oversized-bucket list is tiny by construction — broadcast anti-join."""
+    if max_bucket is None:
+        return banded
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(oversized), keys, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str, id_col: str,
     n_hashes: int = 64, bands: int = 16, shingle_n: int = 5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows_per_band = n_hashes / bands; docs sharing any band bucket become a
-    candidate pair (id_a < id_b).  Output: (id_a, id_b) distinct."""
+    candidate pair (id_a < id_b).  Output: (id_a, id_b) distinct.
+    ``max_bucket`` caps degenerate buckets (see _drop_oversized_buckets)."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = df.select(
@@ -135,6 +159,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    banded = _drop_oversized_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -183,10 +208,14 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 
 # --- SimHash --------------------------------------------------------------------
 
-def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 64):
-    """numpy SimHash over one Arrow batch: token hashes from crc32 pairs
-    (deterministic, C-speed), bit-majority via a (tokens × bits) matrix."""
-    import zlib
+def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 60):
+    """numpy SimHash over one Arrow batch.
+
+    Token hash = first 15 hex chars of sha256 (60 bits) — the shared
+    Spark/DuckDB hash primitive (see textstats.hash60), so the whole
+    signature is reproducible by a pure-SQL oracle; bit-majority runs
+    vectorized via a (tokens × bits) matrix."""
+    import hashlib
 
     import numpy as np
 
@@ -199,11 +228,8 @@ def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 64):
             out.append([0] * n_chunks)
             continue
         hs = np.fromiter(
-            (
-                (zlib.crc32(t.encode("utf-8", "ignore")) << 32)
-                | zlib.crc32(t[::-1].encode("utf-8", "ignore") + b"\x01")
-                for t in toks
-            ),
+            (int(hashlib.sha256(t.encode("utf-8", "ignore")).hexdigest()[:15], 16)
+             for t in toks),
             dtype=np.uint64, count=len(toks),
         )
         bit_matrix = ((hs[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
@@ -216,17 +242,18 @@ def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 64):
     return out
 
 
-def simhash_chunks(col, n_chunks: int = 4, bits: int = 64) -> Column:
+def simhash_chunks(col, n_chunks: int = 4, bits: int = 60) -> Column:
     """SimHash as an array of ``n_chunks`` (bits/n_chunks)-bit longs.
 
     Classic SimHash: bit b of the signature is the majority of bit b over
-    the per-token 64-bit hashes.  Computed as an Arrow-batched pandas UDF
-    over numpy (the per-token × per-bit matrix is exactly a vectorized
-    popcount workload; a pure-Catalyst HOF formulation was ~60× slower
-    because each of the 64 bit-aggregations runs interpreted per token).
-    The chunked representation doubles as the hamming-LSH banding key:
-    two docs within hamming distance < n_chunks share at least one chunk
-    (pigeonhole)."""
+    the per-token hashes.  Computed as an Arrow-batched pandas UDF over
+    numpy (the per-token × per-bit matrix is exactly a vectorized popcount
+    workload; a pure-Catalyst HOF formulation was ~60× slower because each
+    of the bit-aggregations runs interpreted per token).  60-bit signatures
+    (15 sha256 hex chars per token) keep every intermediate inside a signed
+    long in both Spark and the DuckDB oracle.  The chunked representation
+    doubles as the hamming-LSH banding key: two docs within hamming
+    distance < n_chunks share at least one chunk (pigeonhole)."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -246,13 +273,16 @@ def simhash_hamming(chunks_a, chunks_b) -> Column:
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
-                       n_chunks: int = 4) -> DataFrame:
-    """Candidate pairs sharing ≥1 SimHash chunk (hamming ≤ 3·16 guaranteed
-    recall for distance < n_chunks by pigeonhole)."""
+                       n_chunks: int = 4,
+                       max_bucket: int | None = 1000) -> DataFrame:
+    """Candidate pairs sharing ≥1 SimHash chunk (guaranteed recall for
+    hamming distance < n_chunks by pigeonhole).  ``max_bucket`` caps
+    degenerate chunk buckets (see _drop_oversized_buckets)."""
     ch = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(simhash_chunks(text_col, n_chunks)).alias("chunk_idx", "chunk_val"),
     )
+    ch = _drop_oversized_buckets(ch, ["chunk_idx", "chunk_val"], max_bucket)
     l, r = ch.alias("l"), ch.alias("r")
     return (
         l.join(
@@ -276,42 +306,85 @@ def cosine_sim(a, b) -> Column:
     return dot / F.greatest(na * nb, F.lit(1e-12))
 
 
-def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
-                       threshold: float = 0.95,
-                       n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding cosine near-dup via random-hyperplane LSH bucketing +
-    exact cosine verification inside buckets.
+def hyperplane_weights(seed: int, n_tables: int, n_bits: int,
+                       dim: int) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane weights, w[t][b][d] from the low bit of
+    sha256(f"{seed}:{t}:{b}:{d}").  sha256 is the shared Spark/DuckDB/
+    Python primitive, so the identical planes can be re-derived by the SQL
+    oracle and by independent reimplementations."""
+    import hashlib
 
-    Hyperplanes are derived deterministically from ``xxhash64(seed, plane,
-    dim)`` so the whole pipeline stays JVM-side and replayable: the sign
-    bit of a cheap integer hash-projection approximates a random plane."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    return [
+        [
+            [
+                1.0 if int(hashlib.sha256(
+                    f"{seed}:{t}:{b}:{d}".encode()).hexdigest()[:2], 16) & 1
+                else -1.0
+                for d in range(dim)
+            ]
+            for b in range(n_bits)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
+                       threshold: float = 0.95, dim: int = 64,
+                       n_tables: int = 6, n_bits: int = 8, seed: int = 42,
+                       max_bucket: int | None = 1024) -> DataFrame:
+    """Embedding cosine near-dup via BANDED random-hyperplane LSH + exact
+    cosine verification inside buckets.
+
+    Scale shape (mirrors the MinHash banding): ``n_tables`` independent
+    hash tables of ``n_bits`` planes each.  A pair is a candidate if it
+    collides in ANY table — recall ≈ 1-(1-(1-θ/π)^n_bits)^n_tables grows
+    with tables while each table's buckets stay small (2^n_bits cells per
+    table, and the corpus spreads over n_tables × 2^n_bits cells overall
+    instead of one global 2^n table whose per-bucket self-join goes
+    quadratic).  Degenerate buckets (an all-zeros embedding cluster) are
+    additionally capped by ``max_bucket``.
+
+    The ±1 plane weights come from sha256 (``hyperplane_weights``), the
+    projection is a sequential JVM fold — both exactly reproducible by the
+    DuckDB oracle (list_dot_product against the same literal planes)."""
+    ws = hyperplane_weights(seed, n_tables, n_bits, dim)
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    def plane_sign(p):
-        # pseudo-random ±1 weights per (plane, dim) from the hash low bit
-        return F.aggregate(
-            F.zip_with(
-                vecd, dim_idx,
-                lambda v, i: v * (F.xxhash64(F.lit(seed), F.lit(p), i)
-                                  .bitwiseAND(F.lit(1)).cast("double") * 2 - 1),
-            ),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket * 2 + F.when(plane_sign(p) > 0, F.lit(1)).otherwise(F.lit(0))
-    bucketed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                         bucket.alias("_bucket"))
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (
-        l.join(r, (F.col("l._bucket") == F.col("r._bucket"))
+
+    def proj(t: int, b: int):
+        w = F.array(*[F.lit(x) for x in ws[t][b]])
+        return F.aggregate(F.zip_with(vecd, w, lambda v, x: v * x),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    def bucket(t: int):
+        expr = F.lit(0).cast("long")
+        for b in range(n_bits):
+            expr = expr * 2 + F.when(proj(t, b) > 0, F.lit(1)).otherwise(F.lit(0))
+        return expr
+
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
+        for t in range(n_tables)
+    ])
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tables).alias("tb"),
+    ).select("_id", "tb.tbl", "tb.bucket")
+    banded = _drop_oversized_buckets(banded, ["tbl", "bucket"], max_bucket)
+    l, r = banded.alias("l"), banded.alias("r")
+    # candidate pairs carry only ids — the (wide) vectors never ride the
+    # banding shuffle; they join back onto the (small) verified-candidate set
+    pairs = (
+        l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
                & (F.col("l._id") < F.col("r._id")))
-        .select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-            cosine_sim(
-                F.transform(F.col("l._v"), lambda x: x.cast("double")),
-                F.transform(F.col("r._v"), lambda x: x.cast("double")),
-            ).alias("cosine"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_id"),
+                     F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+    return (
+        pairs.join(vecs.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -59,7 +59,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("start_ts"),
             F.max(ts_col).alias("end_ts"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            # decimal sum: double addition is order-dependent in the last
+            # ulp, so round(sum(double), 2) can flip on a half-cent boundary
+            # between runs/plans; quantizing each value to decimal(18,6)
+            # first makes the sum exact and the rounding deterministic
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+            .cast("double").alias("total_value"),
         )
     )
 

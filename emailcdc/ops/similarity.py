@@ -51,11 +51,14 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def _seeded_centroids(corpus: DataFrame, vec_col: str, id_col: str,
                       n_cells: int) -> np.ndarray:
     """Deterministic centroid pick: the n_cells corpus vectors with the
-    smallest xxhash64(id) — a seeded sample, stable across runs."""
+    lexicographically smallest sha256(id-as-string) — a seeded sample,
+    stable across runs AND re-derivable by the DuckDB oracle (sha256 is
+    the shared Spark/DuckDB hash primitive; id breaks hex-collision ties,
+    which cannot occur for distinct ids anyway)."""
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
+        .withColumn("_h", F.sha2(F.col(id_col).cast("string"), 256))
+        .orderBy("_h", id_col)
         .limit(n_cells)
         .collect()
     )
@@ -64,7 +67,12 @@ def _seeded_centroids(corpus: DataFrame, vec_col: str, id_col: str,
 
 def _assign_cells(vec_col: str, centroids: np.ndarray, n_probe: int):
     """Vectorized (Arrow-batched) nearest-centroid assignment: one numpy
-    matmul per batch — the only Python in the ANN path."""
+    matmul per batch — the only Python in the ANN path.
+
+    Similarities are rounded to 9 dp before ranking and ties broken by
+    cell index (stable argsort) so the assignment is bit-for-bit
+    reproducible by a sequential-summation SQL oracle despite BLAS's
+    blocked summation order."""
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
@@ -72,8 +80,8 @@ def _assign_cells(vec_col: str, centroids: np.ndarray, n_probe: int):
         for pdf in batches:
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cnorm.T  # (batch, cells)
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            sims = np.round(mat @ cnorm.T, 9)  # (batch, cells)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             out = pdf.copy()
             out["_cells"] = [row.tolist() for row in order]
             yield out

@@ -93,10 +93,24 @@ def shingles(col, n: int = 5) -> Column:
     )
 
 
+def hash60(col) -> Column:
+    """60-bit integer hash of a string: first 15 hex chars of sha256.
+
+    sha256 is the one hash primitive Spark and DuckDB share bit-for-bit
+    (``sha2(s, 256)`` == ``sha256(s)``), so every operator built on it is
+    oracle-checkable: DuckDB computes the same value with
+    ``CAST('0x' || substr(sha256(s), 1, 15) AS BIGINT)``.  15 hex chars =
+    60 bits, safely inside a signed 64-bit long in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint(col, n: int = 5) -> Column:
-    """Rolling-hash document fingerprint: min xxhash64 over word shingles
-    (a 1-permutation MinHash — stable under small edits)."""
-    return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+    """Rolling-hash document fingerprint: min 60-bit shingle hash over word
+    shingles (a 1-permutation MinHash — stable under small edits).  Pure
+    Catalyst (sha2 + HOFs) and exactly reproducible in the DuckDB oracle
+    via ``hash60``'s shared sha256 primitive."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: hash60(s)))
 
 
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -28,7 +28,9 @@ def windowed_counts(events: DataFrame, *, window: str = "10 minutes",
             group_col,
         )
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(value_col), 2).alias("total_value"))
+             # decimal sum — see ops/sessions.py: deterministic rounding
+             F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+             .cast("double").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -48,7 +50,8 @@ def windowed_counts_stream(events: DataFrame, *, window: str = "10 minutes",
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), group_col)
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(value_col), 2).alias("total_value"))
+             F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+             .cast("double").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

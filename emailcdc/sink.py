@@ -71,6 +71,12 @@ class Manifest:
     schemas: dict = field(default_factory=dict)
     stats: dict = field(default_factory=dict)
     delta_depth: int = 0  # deltas since last compaction
+    # highest streaming epoch_id applied (None if never streamed): stream
+    # idempotence is tracked HERE, decoupled from snapshot ids — epoch ids
+    # and batch ids advance independently, so a compaction or batch replay
+    # on the same sink can never collide with (and silently swallow) a
+    # streaming epoch (ADVICE r1)
+    last_epoch: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -210,6 +216,7 @@ class SnapshotParquetSink:
         batch_keys: DataFrame | None = None,
         append_rows: dict[str, tuple[list, object]] | None = None,
         marks: DataFrame | None = None,
+        epoch: int | None = None,
     ) -> Manifest:
         """MOR-commit a batch and atomically publish snapshot ``batch_id``.
 
@@ -345,6 +352,10 @@ class SnapshotParquetSink:
             schemas=new_schemas,
             stats=stats or {},
             delta_depth=0 if compacting else (prev.delta_depth + 1 if prev else 1),
+            # non-streaming commits carry the watermark forward so a stream
+            # can resume after interleaved batch replays / compactions
+            last_epoch=epoch if epoch is not None
+            else (prev.last_epoch if prev else None),
         )
         mpath = os.path.join(self.root, "manifests", f"manifest-{snapshot_id}.json")
         with open(mpath + ".tmp", "w") as fh:

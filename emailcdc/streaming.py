@@ -7,11 +7,15 @@ drops in by swapping ``readStream`` options — the ``foreachBatch`` body is
 source-agnostic).
 
 Exactly-once composition: Spark's streaming checkpoint gives *replayable*
-micro-batches with stable ``epoch_id``s; the engine's manifest protocol
-(snapshot_id == batch_id, skip if ≤ CURRENT) makes each epoch idempotent.
-Batch id = epoch_id + 1, so a restart that re-delivers the last epoch hits
-the already-committed manifest and is skipped — the combination is
-end-to-end exactly-once regardless of which side crashed
+micro-batches with stable ``epoch_id``s; the sink manifest records the
+highest applied epoch (``last_epoch``) SEPARATELY from snapshot/batch ids,
+and each epoch allocates a fresh batch id via ``engine.next_batch_id()``.
+A restart that re-delivers the last epoch sees ``epoch_id <= last_epoch``
+and skips — end-to-end exactly-once regardless of which side crashed.
+Decoupling epoch ids from snapshot ids matters: the earlier
+``batch_id = epoch_id + 1`` scheme silently SKIPPED epochs whenever a
+batch replay or ``main.py compact`` had already consumed those snapshot
+ids on the same sink (ADVICE r1 — permanent data loss).
 (``maxFilesPerTrigger`` is the ``FLOWFILE_COUNT`` micro-batching analog,
 ExtractEMLFile.java:34-42).
 """
@@ -45,7 +49,11 @@ def run_stream(engine: CdcEngine, events: DataFrame, checkpoint_dir: str,
     """
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        engine.apply_batch(batch_df, batch_id=int(epoch_id) + 1)
+        last = engine.last_epoch()
+        if last is not None and int(epoch_id) <= last:
+            return  # checkpoint re-delivered an already-committed epoch
+        engine.apply_batch(batch_df, batch_id=engine.next_batch_id(),
+                           epoch=int(epoch_id))
 
     writer = events.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir)

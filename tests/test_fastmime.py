@@ -104,3 +104,42 @@ class TestFastPartUnits:
     def test_charset(self):
         raw = 'Content-Type: text/plain; charset="ISO-8859-1"\r\n\r\nx'
         assert fastmime.parse(raw).get_content_charset() == "iso-8859-1"
+
+
+class TestAdvisedDivergences:
+    """ADVICE r1 regression cases: fastmime must bail (not silently diverge)
+    on message/rfc822 parts, and must decode QP bodies with literal
+    non-ASCII chars exactly like the stdlib."""
+
+    RFC822_INLINE = (
+        "From: a@x.org\r\nTo: b@x.org\r\nSubject: fwd\r\n"
+        "Content-Type: multipart/mixed; boundary=\"B1\"\r\nMIME-Version: 1.0\r\n"
+        "\r\n--B1\r\nContent-Type: text/plain\r\n\r\nsee attached\r\n"
+        "--B1\r\nContent-Type: message/rfc822\r\n\r\n"
+        "From: inner@x.org\r\nSubject: inner\r\n\r\ninner body text\r\n"
+        "--B1--\r\n"
+    )
+    RFC822_ATTACHED = (
+        "From: a@x.org\r\nTo: b@x.org\r\nSubject: fwd2\r\n"
+        "Content-Type: multipart/mixed; boundary=\"B2\"\r\nMIME-Version: 1.0\r\n"
+        "\r\n--B2\r\nContent-Type: text/plain\r\n\r\nbody\r\n"
+        "--B2\r\nContent-Type: message/rfc822; name=fwd.eml\r\n"
+        "Content-Disposition: attachment\r\n\r\n"
+        "From: inner@x.org\r\nSubject: inner\r\n\r\nnested payload\r\n"
+        "--B2--\r\n"
+    )
+    QP_NON_ASCII = (
+        "From: a@x.org\r\nSubject: qp\r\nMIME-Version: 1.0\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        "café =C3=A9clair naïve=0Aline two\r\n"
+    )
+
+    @pytest.mark.parametrize("raw", [RFC822_INLINE, RFC822_ATTACHED, QP_NON_ASCII])
+    def test_parity(self, raw):
+        _differential(raw)
+
+    def test_rfc822_bails(self):
+        from emailcdc import fastmime
+        with pytest.raises(fastmime.FastMimeBail):
+            msg = fastmime.parse(self.RFC822_INLINE)

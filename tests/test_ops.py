@@ -139,9 +139,27 @@ class TestEmbeddingOps:
     def test_embedding_near_dup_finds_scaled_copy(self, spark, emb):
         df, _ = emb
         out = dedup.embedding_near_dup(df, "embedding", "vec_id",
-                                       threshold=0.999, n_planes=4)
+                                       threshold=0.999, dim=8,
+                                       n_tables=4, n_bits=4)
         pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        # a scaled copy has the identical direction -> identical bucket in
+        # EVERY table, so banded LSH can never miss it
         assert (0, 1) in pairs
+
+    def test_near_dup_bucket_cap_bounds_candidates(self, spark, emb):
+        # 40 identical vectors share every bucket: with max_bucket below the
+        # clique size the degenerate buckets are dropped entirely
+        rows = [(i, [1.0] * 8) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        capped = dedup.embedding_near_dup(df, "embedding", "vec_id",
+                                          threshold=0.5, dim=8,
+                                          n_tables=2, n_bits=4, max_bucket=10)
+        assert capped.count() == 0
+        uncapped = dedup.embedding_near_dup(df, "embedding", "vec_id",
+                                            threshold=0.5, dim=8,
+                                            n_tables=2, n_bits=4,
+                                            max_bucket=None)
+        assert uncapped.count() == 40 * 39 // 2
 
 
 class TestTextStats:
@@ -223,3 +241,30 @@ class TestAsofJoin:
         right = spark.createDataFrame([(0, 10, 1.0)], "k long, t long, v double")
         out = asof_join(left, right, on="t", by="k", value_cols=["v"])
         assert out.count() == 50
+
+
+class TestLshBucketCaps:
+    """VERDICT r1: degenerate LSH buckets must stay bounded — a pathological
+    corpus of identical docs may not generate quadratic candidate pairs."""
+
+    @pytest.fixture(scope="class")
+    def clones(self, spark):
+        rows = [(i, "the same exact document body repeated verbatim " * 3)
+                for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_cap_drops_degenerate_bucket(self, spark, clones):
+        capped = dedup.minhash_lsh_candidates(
+            clones, "text", "doc_id", n_hashes=16, bands=4, max_bucket=20)
+        assert capped.count() == 0
+        uncapped = dedup.minhash_lsh_candidates(
+            clones, "text", "doc_id", n_hashes=16, bands=4, max_bucket=None)
+        assert uncapped.count() == 60 * 59 // 2
+
+    def test_simhash_cap_drops_degenerate_bucket(self, spark, clones):
+        capped = dedup.simhash_candidates(clones, "text", "doc_id",
+                                          max_bucket=20)
+        assert capped.count() == 0
+        uncapped = dedup.simhash_candidates(clones, "text", "doc_id",
+                                            max_bucket=None)
+        assert uncapped.count() == 60 * 59 // 2

@@ -67,3 +67,43 @@ class TestStreaming:
         _write_chunk(spark, EVENTS[half:], src)
         run_stream(engine, stream_events(spark, src), ckpt).awaitTermination(180)
         assert _snap_keys(engine) == set(EXPECTED)
+
+    def test_stream_after_batch_replay_not_swallowed(self, spark, tmp_path):
+        """ADVICE r1 regression: snapshot ids consumed by a prior batch
+        replay (or compaction) must NOT cause streaming epochs to be
+        silently skipped — epoch idempotence is tracked by last_epoch,
+        not by snapshot id."""
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        sink_dir = str(tmp_path / "sink")
+        half = len(EVENTS) // 2
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, sink_dir, n_buckets=8))
+        # batch replay first: consumes snapshot ids 1..N (N >= 3 via small
+        # batch_size), leaving CURRENT well past the stream's first epochs
+        edf = spark.createDataFrame(EVENTS[:half], schema=schemas.CHANGE_EVENTS)
+        engine.replay(edf, batch_size=4)
+        assert engine.sink.current_snapshot_id() >= 3
+        # now stream the second tranche into the SAME sink; its epochs
+        # start at 0 — under the old epoch+1==snapshot scheme every one of
+        # them would hit "batch_id <= CURRENT" and be dropped
+        _write_chunk(spark, EVENTS[half:], src)
+        run_stream(engine, stream_events(spark, src), ckpt).awaitTermination(180)
+        assert _snap_keys(engine) == set(EXPECTED)
+        assert engine.last_epoch() == 0
+        # restart with the same checkpoint: idempotent, nothing re-applied
+        before = engine.table("messages").count()
+        run_stream(engine, stream_events(spark, src), ckpt).awaitTermination(180)
+        assert engine.table("messages").count() == before
+
+    def test_compaction_preserves_last_epoch(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        sink_dir = str(tmp_path / "sink")
+        _write_chunk(spark, EVENTS, src)
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, sink_dir, n_buckets=8))
+        run_stream(engine, stream_events(spark, src), ckpt).awaitTermination(180)
+        epoch_before = engine.last_epoch()
+        assert epoch_before is not None
+        # a maintenance compaction (non-streaming commit) carries it forward
+        engine.sink.compact_now(engine.next_batch_id())
+        assert engine.last_epoch() == epoch_before
