@@ -64,6 +64,7 @@ class CdcEngine:
         hot_key_fraction: float = 0.2,
         hot_key_min: int = 64,
         extract_partitions: int | None = None,
+        broadcast_key_limit: int = 1_000_000,
     ):
         from .extract import validate_missing_field_config
         validate_missing_field_config(missing_field_strategy, missing_field_substitution)
@@ -76,6 +77,11 @@ class CdcEngine:
         self.hot_key_fraction = hot_key_fraction
         self.hot_key_min = hot_key_min
         self.extract_partitions = extract_partitions
+        # past this many events per batch, the LWW semi-join and the sink's
+        # compaction folds fall back from broadcast to shuffle joins — a
+        # 10^7-key broadcast built on the driver is a scale-killer
+        self.broadcast_key_limit = broadcast_key_limit
+        sink.broadcast_key_limit = broadcast_key_limit
 
     # --- checkpoint/resume ----------------------------------------------------
 
@@ -155,13 +161,18 @@ class CdcEngine:
         # a window over the full rows — which shuffles the (multi-KB)
         # content column — compute the winning offsets from the metadata
         # columns only (groupBy key → max(offset): parquet scan prunes
-        # content) and broadcast-semi-join the batch on offset.  The
-        # content column never shuffles; winners materialize straight off
-        # the scan into the cache.
+        # content) and semi-join the batch on offset.  The content column
+        # never shuffles; winners materialize straight off the scan into
+        # the cache.  Broadcast only while the key set is driver-sized:
+        # event_count bounds the winner count, so past broadcast_key_limit
+        # the semi-join runs as a shuffle join instead (VERDICT r1 —
+        # a 10^7-row broadcast at the documented 10^7-event batch size
+        # would OOM the driver / blow the broadcast limit).
         win_offs = batch.groupBy(*KEY).agg(F.max("offset").alias("offset"))
-        winners = batch.join(
-            F.broadcast(win_offs.select("offset")), on="offset", how="leftsemi"
-        ).persist()
+        win_side = win_offs.select("offset")
+        if event_count <= self.broadcast_key_limit:
+            win_side = F.broadcast(win_side)
+        winners = batch.join(win_side, on="offset", how="leftsemi").persist()
         try:
             deletes = winners.filter(F.col("op") == "D").select(*KEY)
             upserts = winners.filter(F.col("op") != "D")
@@ -237,6 +248,7 @@ class CdcEngine:
                     *KEY, F.lit(batch_id).cast("long").alias("_seq"),
                     (F.col("op") == "D").alias("is_delete")),
                 epoch=epoch,
+                approx_batch_keys=event_count,
             )
             _mark("commit")
             return BatchResult(batch_id, offset_lo, offset_hi,

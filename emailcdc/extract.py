@@ -296,11 +296,21 @@ def split_mbox(raw: str) -> list[str]:
     """
     messages = []
     starts = [m.start() for m in _FROM_LINE.finditer(raw)]
-    # Only 'From ' lines at position 0 or preceded by a blank line are true
+
+    # Only 'From ' lines at position 0 or preceded by a BLANK LINE are true
     # separators (mboxrd convention; body 'From ' lines are usually quoted).
-    true_starts = [
-        s for s in starts if s == 0 or raw[max(0, s - 2):s] in ("\n\n", "\r\n")
-    ]
+    # The blank line is "\n\n" (LF files) or "\r\n\r\n" (CRLF files) — a
+    # bare preceding "\r\n" is just any CRLF line ending, and accepting it
+    # split every CRLF body line starting 'From ' into a bogus message
+    # (ADVICE r1).
+    def _is_separator(s: int) -> bool:
+        if s == 0:
+            return True
+        if s >= 2 and raw[s - 2:s] == "\n\n":
+            return True
+        return s >= 4 and raw[s - 4:s] == "\r\n\r\n"
+
+    true_starts = [s for s in starts if _is_separator(s)]
     for i, start in enumerate(true_starts):
         end = true_starts[i + 1] if i + 1 < len(true_starts) else len(raw)
         chunk = raw[start:end]

@@ -7,10 +7,18 @@ the MOR emulation in sink.py.  On a cluster with Iceberg configured
 .IcebergSparkSessionExtensions --conf spark.sql.catalog.lake=...``), this
 adapter maps the same commit contract onto native Iceberg:
 
-- keyed tables → ``MERGE INTO`` on (repo, path)  (upsert + delete)
+- keyed tables → delete-by-key (``MERGE … WHEN MATCHED THEN DELETE``) +
+  append.  NOT ``MERGE … UPDATE SET *``: the detail tables (messages,
+  attachments, calendar_entries) hold SEVERAL rows per (repo, path), and
+  Iceberg MERGE fails on multiple matching source rows (ADVICE r1).
 - append tables → ``INSERT INTO``
-- idempotence → the engine's batch_id recorded as an Iceberg snapshot
-  summary property; a replayed batch whose property exists is skipped
+- idempotence → the engine's batch_id is WRITTEN as the Iceberg snapshot
+  summary property ``emailcdc.batch_id`` on the append (the
+  ``snapshot-property.*`` write option), and ``committed_batch_ids``
+  reads it back from the ``.snapshots`` metadata table; a replayed batch
+  whose property exists is skipped.  A crash between the delete and the
+  append leaves the property absent, so the replay redoes both steps and
+  converges (delete of already-deleted keys is a no-op).
 - schema evolution → Iceberg's native additive ALTER TABLE
 
 Each method raises ``RuntimeError`` with setup instructions when the
@@ -23,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 KEY = ["repo", "path"]
+BATCH_PROP = "emailcdc.batch_id"  # snapshot summary property (idempotence)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -57,18 +66,24 @@ class IcebergSink:
 
     def committed_batch_ids(self, table: str) -> set[int]:
         rows = self.spark.sql(
-            f"SELECT summary['emailcdc.batch_id'] AS b FROM "
+            f"SELECT summary['{BATCH_PROP}'] AS b FROM "
             f"{self._fqn(table)}.snapshots").collect()
         return {int(r["b"]) for r in rows if r["b"] is not None}
 
     def merge_upserts(self, table: str, rows: DataFrame, batch_id: int) -> None:
-        view = f"_emailcdc_batch_{table}"
-        rows.createOrReplaceTempView(view)
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in KEY)
-        self.spark.sql(
-            f"MERGE INTO {self._fqn(table)} t USING {view} s ON {cond} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *")
+        """Idempotent per-key replace: skip an already-committed batch, else
+        delete every touched key's rows and append the new rows, stamping
+        the append's snapshot with ``emailcdc.batch_id`` so the next replay
+        of this batch is detected.  delete+append (not MERGE UPDATE SET *)
+        because detail tables carry multiple rows per key."""
+        if batch_id in self.committed_batch_ids(table):
+            return  # replayed batch — already visible
+        self.delete_keys(table, rows.select(*KEY).distinct())
+        (
+            rows.writeTo(self._fqn(table))
+            .option(f"snapshot-property.{BATCH_PROP}", str(batch_id))
+            .append()
+        )
 
     def delete_keys(self, table: str, keys: DataFrame) -> None:
         view = f"_emailcdc_del_{table}"
@@ -78,5 +93,14 @@ class IcebergSink:
             f"MERGE INTO {self._fqn(table)} t USING {view} s ON {cond} "
             "WHEN MATCHED THEN DELETE")
 
-    def append(self, table: str, rows: DataFrame) -> None:
-        rows.writeTo(self._fqn(table)).append()
+    def append(self, table: str, rows: DataFrame,
+               batch_id: int | None = None) -> None:
+        """Append rows; with a ``batch_id`` the write is idempotent the same
+        way as merge_upserts (skip if the snapshot property already exists)."""
+        writer = rows.writeTo(self._fqn(table))
+        if batch_id is not None:
+            if batch_id in self.committed_batch_ids(table):
+                return
+            writer = writer.option(f"snapshot-property.{BATCH_PROP}",
+                                   str(batch_id))
+        writer.append()

@@ -38,14 +38,19 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix + "_filled")
-            for c in value_cols
-        ],
+    # Fill from the newest preceding right ROW, not per-column last non-null:
+    # filling each value column independently would backfill a stale value
+    # from an older right row whenever the newest one is legitimately NULL
+    # (ADVICE r1 — diverges from DuckDB ASOF, which selects the row and
+    # projects its values even when NULL).  A struct is non-null iff the
+    # row is a right row, so last(ignorenulls) picks the row wholesale.
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(c + suffix) for c in value_cols]),
     )
+    filled = unioned.select(
+        "*", F.last(rrow, ignorenulls=True).over(w).alias("_rrow"))
     out_cols = [c for c in left.columns] + [
-        F.col(c + suffix + "_filled").alias(c + suffix) for c in value_cols
+        F.col("_rrow")[c + suffix].alias(c + suffix) for c in value_cols
     ]
     return filled.filter(F.col("_side") == 1).select(*out_cols)

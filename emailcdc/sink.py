@@ -88,11 +88,15 @@ class Manifest:
 
 class SnapshotParquetSink:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64,
-                 compact_every: int = 8):
+                 compact_every: int = 8,
+                 broadcast_key_limit: int = 1_000_000):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.compact_every = compact_every
+        # past this many keys per batch, compaction folds join batch_keys
+        # by shuffle instead of broadcast (driver-sized broadcasts only)
+        self.broadcast_key_limit = broadcast_key_limit
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -217,6 +221,7 @@ class SnapshotParquetSink:
         append_rows: dict[str, tuple[list, object]] | None = None,
         marks: DataFrame | None = None,
         epoch: int | None = None,
+        approx_batch_keys: int | None = None,
     ) -> Manifest:
         """MOR-commit a batch and atomically publish snapshot ``batch_id``.
 
@@ -229,6 +234,12 @@ class SnapshotParquetSink:
         snapshot_id = batch_id
         appends = appends or {}
         append_rows = append_rows or {}
+        # broadcast guard for the fold joins below: callers that know the
+        # batch size (the engine passes its event count, an upper bound on
+        # touched keys) disable broadcast past broadcast_key_limit
+        self._fold_broadcast_ok = (
+            approx_batch_keys is None
+            or approx_batch_keys <= self.broadcast_key_limit)
         compacting = prev is not None and prev.delta_depth + 1 >= self.compact_every
 
         # ---- marks: one row per touched key, delete-flagged.  Callers that
@@ -313,7 +324,7 @@ class SnapshotParquetSink:
                 folded = marks
                 if latest is not None:
                     keep = latest.filter(~F.col("is_delete")).join(
-                        F.broadcast(batch_keys), on=KEY, how="left_anti")
+                        self._maybe_broadcast(batch_keys), on=KEY, how="left_anti")
                     folded = keep.unionByName(marks)
                 folded.repartition(4).write.mode("overwrite").parquet(marks_dir)
                 marks_list = [marks_dir]
@@ -386,8 +397,15 @@ class SnapshotParquetSink:
                 .drop("_live_seq")
             )
         if batch_keys is not None:
-            rows = rows.join(F.broadcast(batch_keys), on=KEY, how="left_anti")
+            rows = rows.join(self._maybe_broadcast(batch_keys),
+                             on=KEY, how="left_anti")
         return rows
+
+    def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
+        """Broadcast only driver-sized batch-key frames (see commit())."""
+        if getattr(self, "_fold_broadcast_ok", True):
+            return F.broadcast(df)
+        return df
 
     @staticmethod
     def _write_local_parquet(path: str, rows: list[dict], spark_schema) -> None:

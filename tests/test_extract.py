@@ -180,6 +180,26 @@ class TestMbox:
                "text\nFrom here on this is body text glued to prev line\n")
         assert len(split_mbox(raw)) == 1
 
+    def test_crlf_body_from_line_not_split(self):
+        # ADVICE r1: a CRLF mbox with an unquoted 'From ' body line is ONE
+        # message — a bare preceding \r\n is a line ending, not a blank line
+        raw = ("From a@b Mon Jan 01 00:00:00 2024\r\n"
+               "From: a@b.c\r\nSubject: s\r\n\r\n"
+               "text line one\r\n"
+               "From here this is body text, not a separator\r\n")
+        msgs = split_mbox(raw)
+        assert len(msgs) == 1
+        assert "not a separator" in msgs[0]
+
+    def test_crlf_blank_line_separator_splits(self):
+        raw = ("From a@b Mon Jan 01 00:00:00 2024\r\n"
+               "From: a@b.c\r\nSubject: one\r\n\r\nbody one\r\n\r\n"
+               "From c@d Mon Jan 01 00:00:01 2024\r\n"
+               "From: c@d.e\r\nSubject: two\r\n\r\nbody two\r\n")
+        msgs = split_mbox(raw)
+        assert len(msgs) == 2
+        assert parse_eml(msgs[1], message_number=2)["subject"] == "two"
+
 
 class TestIcal:
     def test_golden_single_event(self):

@@ -242,6 +242,17 @@ class TestAsofJoin:
         out = asof_join(left, right, on="t", by="k", value_cols=["v"])
         assert out.count() == 50
 
+    def test_null_value_in_newest_right_row_not_backfilled(self, spark):
+        # ADVICE r1: when the newest preceding right ROW carries a NULL
+        # value, the join must return that NULL (DuckDB ASOF semantics),
+        # not reach back to an older non-null right row
+        from emailcdc.ops.asof import asof_join
+        left = spark.createDataFrame([(1, 30, "l")], "k long, t long, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 20, None)], "k long, t long, v double")
+        rows = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+        assert rows[0]["v_right"] is None
+
 
 class TestLshBucketCaps:
     """VERDICT r1: degenerate LSH buckets must stay bounded — a pathological
