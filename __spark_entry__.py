@@ -992,6 +992,67 @@ def _ics_oracle_values() -> str:
             ") AS t(path, name, summary, start_s, attendees_joined) ORDER BY summary")
 
 
+_GOLDEN_PST = ("/root/reference/nifi-email-extraction-processors/"
+               "src/test/resources/test_inbox.pst")
+
+
+def _pst_event_row():
+    import base64
+    import os
+    if not os.path.exists(_GOLDEN_PST):
+        return None
+    with open(_GOLDEN_PST, "rb") as fh:
+        return ("org0/fix", "mail/test_inbox.pst", "c", "pst",
+                base64.b64encode(fh.read()).decode("ascii"))
+
+
+def _pst_message_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 — full PST extraction through the Spark envelope path over the
+    reference's golden archive (7 messages / 13 attachments,
+    ExtractPSTFileTest.java:34-50)."""
+    from emailcdc.udfs import extract_envelope, split_envelope
+    row = _pst_event_row()
+    rows = [row] if row else []
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).withColumn("offset", F.monotonically_increasing_id())
+    outs = split_envelope(extract_envelope(df))
+    return outs["messages"].select(
+        "folder", "subject",
+        F.col("sender_details.email_address").alias("sender_email"),
+        F.size("recipients").alias("n_recipients"),
+        F.size("bodies").alias("n_bodies"),
+        F.size("attachments").alias("n_attachments"),
+    ).orderBy("subject")
+
+
+def _pst_oracle_values() -> str:
+    """Pure-Python reference path (extract.parse path, no Spark) — mirrors
+    the _eml_oracle_values pattern."""
+    import base64
+    from emailcdc.extract import extract_event
+    row = _pst_event_row()
+    if row is None:
+        return ("SELECT * FROM (VALUES ('', '', '', 0, 0, 0)) AS "
+                "t(folder, subject, sender_email, n_recipients, n_bodies,"
+                " n_attachments) WHERE 1 = 0")
+    out = extract_event(row[0], row[1], 0, row[2], "pst", row[4])
+
+    def esc(s):
+        return (s or "").replace("'", "''")
+
+    vals = []
+    for m in sorted(out["messages"], key=lambda m: m["subject"]):
+        vals.append(
+            f"('{esc(m['folder'])}', '{esc(m['subject'])}', "
+            f"'{esc(m['sender_details']['email_address'])}', "
+            f"{len(m['recipients'])}, {len(m['bodies'])}, {len(m['attachments'])})"
+        )
+    return ("SELECT * FROM (VALUES " + ", ".join(vals) +
+            ") AS t(folder, subject, sender_email, n_recipients, n_bodies,"
+            " n_attachments) ORDER BY subject")
+
+
 def _cdc_final_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc import schemas
     from emailcdc.engine import CdcEngine
@@ -1071,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_message_stats": _eml_message_stats,
         "mbox_message_counts": _mbox_message_counts,
         "ics_calendar_entries": _ics_calendar_entries,
+        "pst_message_stats": _pst_message_stats,
         "cdc_final_snapshot": _cdc_final_snapshot,
     }
 
@@ -1112,5 +1174,6 @@ def oracle_sql() -> dict[str, str]:
         "eml_message_stats": _eml_oracle_values(),
         "mbox_message_counts": _MBOX_ORACLE,
         "ics_calendar_entries": _ics_oracle_values(),
+        "pst_message_stats": _pst_oracle_values(),
         "cdc_final_snapshot": _cdc_oracle_values(),
     }

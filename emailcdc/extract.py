@@ -463,6 +463,56 @@ def parse_transport_headers(raw: str | None) -> dict[str, str]:
     return headers
 
 
+def pst_message_to_email(msg) -> dict:
+    """Map a parsed PST message (pst.PstMessage) onto the EmailMessage dict
+    shape — field mapping per ExtractPSTFile.java:169-230:
+
+    - bodies: ALWAYS one PLAIN entry.  java-libpst's ``getStringItem``
+      returns "" (never null) for an absent body, so the reference's
+      HTML/RTF precedence branches (java:176-185) are unreachable at
+      runtime — the golden archive's bodyless LocalFreebusy message still
+      emits a PLAIN/"" body and never the "Missing body." failure.  The
+      declared precedence lives on in ``pst_body_precedence`` (E5) for
+      pre-extracted row sources.
+    - sender_details taken directly from the PST sender props
+      (java:187-190) — NOT through the E1 address split.
+    - message_id = the Internet message id (java:202) — unlike the
+      EML/mbox path, which uses the JavaMail message number.
+    - headers from the transport headers with the 4-token Date rewrite
+      (java:207-227 — parse_transport_headers, E6).
+    """
+    def s(v):  # java-libpst getStringItem: absent → ""
+        return v if isinstance(v, str) else ""
+
+    return {
+        "folder": s(msg.folder),
+        "message_id": s(msg.internet_message_id),
+        "subject": s(msg.subject),
+        "sender_details": {"name": s(msg.sender_name),
+                           "email_address": s(msg.sender_email)},
+        "recipients": [
+            {"name": r.name, "email_address": r.email_address}
+            for r in msg.recipients
+        ],
+        "in_reply_to": None,
+        "headers": parse_transport_headers(msg.transport_headers),
+        "bodies": [{"body": s(msg.body_plain), "body_type": "PLAIN"}],
+        "attachments": [
+            {
+                "filename": a.filename,
+                # the reference's PST attachment FlowFiles carry no mime
+                # attribute (java:236-258: filename/source.pst.file/
+                # source.message.id only)
+                "mime.type": None,
+                "messageId": s(msg.internet_message_id),
+                "folder": s(msg.folder),
+                "_bytes": a.data,
+            }
+            for a in msg.attachments
+        ],
+    }
+
+
 # --- per-event dispatch (used by the engine's mapInPandas stage) ------------
 
 
@@ -519,7 +569,8 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
     # langs (they produce no payload rows; the snapshot sha is computed
     # JVM-side with F.sha2 in the engine).
     sha = (sha256_hex(content)
-           if content is not None and lang in ("eml", "mbox", "ics") else None)
+           if content is not None and lang in ("eml", "mbox", "ics", "pst")
+           else None)
 
     def _fail(err: str) -> None:
         out["failures"].append(
@@ -573,6 +624,19 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
             for i, chunk in enumerate(chunks, start=1):
                 try:
                     _emit_message(parse_eml(chunk, folder=folder, message_number=i), i)
+                except Exception as exc:  # noqa: BLE001 — R2 continue path
+                    if error_strategy == "failure":
+                        raise
+                    _fail(f"message {i}: {exc}")
+        elif lang == "pst":
+            # P3 — binary PST archive, base64-encoded in the (string)
+            # event content; 1→N messages in reference folder-walk order,
+            # message_seq 1-based like mbox
+            from .pst import parse_pst
+            msgs = parse_pst(base64.b64decode(content))
+            for i, m in enumerate(msgs, start=1):
+                try:
+                    _emit_message(pst_message_to_email(m), i)
                 except Exception as exc:  # noqa: BLE001 — R2 continue path
                     if error_strategy == "failure":
                         raise

@@ -122,3 +122,72 @@ class TestMissingFieldStrategy:
         r = extract_event("r", "p", 1, "c", "eml", make_eml(3),
                           missing_field_strategy="error")
         assert len(r["messages"]) == 1 and r["failures"] == []
+
+
+GOLDEN_PST = ("/root/reference/nifi-email-extraction-processors/"
+              "src/test/resources/test_inbox.pst")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(GOLDEN_PST),
+                    reason="reference golden archive not present")
+class TestPstBinaryReader:
+    """P3 — pure-Python MS-PST reader vs the reference's golden archive
+    (ExtractPSTFileTest.java:31-50: 7 messages, 13 non-empty attachments)."""
+
+    @pytest.fixture(scope="class")
+    def messages(self):
+        from emailcdc.pst import parse_pst
+        with open(GOLDEN_PST, "rb") as fh:
+            return parse_pst(fh.read())
+
+    def test_golden_message_count(self, messages):
+        assert len(messages) == 7  # ExtractPSTFileTest.java:50
+
+    def test_golden_attachment_count_all_nonempty(self, messages):
+        atts = [a for m in messages for a in m.attachments]
+        assert len(atts) == 13  # ExtractPSTFileTest.java:34
+        assert all(len(a.data) > 0 for a in atts)  # :37-39
+
+    def test_folder_names_from_walk(self, messages):
+        folders = {m.folder for m in messages}
+        assert "Inbox" in folders
+
+    def test_message_fields(self, messages):
+        inbox = [m for m in messages if m.folder == "Inbox"]
+        assert len(inbox) == 6
+        test_msg = [m for m in inbox if m.subject == "Test message"]
+        assert len(test_msg) == 1
+        m = test_msg[0]
+        assert m.sender_email == "nifi_test_user@outlook.com"
+        assert m.body_plain  # non-empty plain body
+        assert m.internet_message_id
+        assert len(m.recipients) == 1
+        assert m.recipients[0].email_address
+
+    def test_transport_headers_absent_yields_empty_map(self, messages):
+        # the golden archive stores no PidTagTransportMessageHeaders
+        # (0x007D); java-libpst's getStringItem returns "" there, so the
+        # reference's header loop produces an empty map — mirror that
+        from emailcdc.extract import parse_transport_headers
+        assert all(m.transport_headers is None for m in messages)
+        assert parse_transport_headers(None) == {}
+
+    def test_extract_event_pst_path(self):
+        import base64
+        with open(GOLDEN_PST, "rb") as fh:
+            b64 = base64.b64encode(fh.read()).decode("ascii")
+        out = extract_event("org0/r", "mail/inbox.pst", 0, "c0", "pst", b64)
+        assert len(out["messages"]) == 7
+        assert len(out["attachments"]) == 13
+        assert not out["failures"]
+        assert all(a["size"] > 0 for a in out["attachments"])
+        seqs = [m["message_seq"] for m in out["messages"]]
+        assert seqs == list(range(1, 8))  # 1-based like mbox
+        # PLAIN-only bodies quirk (java-libpst getStringItem never null)
+        assert all(m["bodies"][0]["body_type"] == "PLAIN"
+                   for m in out["messages"])
+
+    def test_reject_non_pst_bytes(self):
+        from emailcdc.pst import PstError, parse_pst
+        with pytest.raises(PstError):
+            parse_pst(b"not a pst file at all" * 10)
