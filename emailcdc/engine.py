@@ -65,6 +65,7 @@ class CdcEngine:
         hot_key_min: int = 64,
         extract_partitions: int | None = None,
         broadcast_key_limit: int = 1_000_000,
+        folder_expression: str | None = None,
     ):
         from .extract import validate_missing_field_config
         validate_missing_field_config(missing_field_strategy, missing_field_substitution)
@@ -82,6 +83,9 @@ class CdcEngine:
         # 10^7-key broadcast built on the driver is a scale-killer
         self.broadcast_key_limit = broadcast_key_limit
         sink.broadcast_key_limit = broadcast_key_limit
+        # FOLDER_IDENTIFIER (AbstractJavaMailProcessor.java:58-67): a Spark
+        # SQL expression over event columns deriving the message folder
+        self.folder_expression = folder_expression
 
     # --- checkpoint/resume ----------------------------------------------------
 
@@ -209,7 +213,8 @@ class CdcEngine:
             # a crashed commit leaves only an orphan staging dir.
             envelope = extract_envelope(
                 salted, self.error_strategy,
-                self.missing_field_strategy, self.missing_field_substitution)
+                self.missing_field_strategy, self.missing_field_substitution,
+                folder_expression=self.folder_expression)
             stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
             envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
             _mark("extract+stage")

@@ -336,13 +336,36 @@ def _ics_unfold(raw: str) -> list[str]:
     return [l for l in lines if l]
 
 
-def _ics_datetime(value: str) -> datetime | None:
+def _ics_datetime(value: str, params: dict[str, str] | None = None) -> datetime | None:
+    """DTSTART/DTEND/CREATED value → aware UTC datetime.
+
+    ical4j semantics (ExtractICal.java:140-146 via DateProperty.getDate()):
+    - trailing 'Z'                → UTC instant
+    - ``TZID=<zone>`` parameter   → local time in that zone (IANA name via
+      zoneinfo), converted to UTC
+    - ``VALUE=DATE`` / bare date  → midnight UTC (ical4j's Date type is
+      UTC-anchored)
+    - floating local time         → UTC (documented deviation: ical4j uses
+      the JVM default zone, which is deployment-dependent; pinning UTC
+      keeps replays deterministic)
+    """
     value = value.strip()
+    params = params or {}
+    tzid = params.get("TZID")
     for fmt in _ICS_DT_FORMATS:
         try:
-            return datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
+            dt = datetime.strptime(value, fmt)
         except ValueError:
             continue
+        if fmt.endswith("Z") or fmt == "%Y%m%d":
+            return dt.replace(tzinfo=timezone.utc)
+        if tzid:
+            try:
+                from zoneinfo import ZoneInfo
+                return dt.replace(tzinfo=ZoneInfo(tzid)).astimezone(timezone.utc)
+            except Exception:  # noqa: BLE001 — unknown zone: fall back to UTC
+                pass
+        return dt.replace(tzinfo=timezone.utc)
     return None
 
 
@@ -364,7 +387,12 @@ def parse_ics(raw: str) -> tuple[list[dict], int]:
         if ":" not in line:
             continue
         key_part, _, value = line.partition(":")
-        key = key_part.split(";")[0].upper()
+        key_tokens = key_part.split(";")
+        key = key_tokens[0].upper()
+        params = {}
+        for tok in key_tokens[1:]:
+            pname, _, pval = tok.partition("=")
+            params[pname.strip().upper()] = pval.strip()
         if key == "BEGIN":
             comp = value.strip().upper()
             if comp != "VCALENDAR":
@@ -400,11 +428,11 @@ def parse_ics(raw: str) -> tuple[list[dict], int]:
         elif key == "URL":
             current["url"] = value
         elif key == "CREATED":
-            current["date_created"] = _ics_datetime(value)
+            current["date_created"] = _ics_datetime(value, params)
         elif key == "DTSTART":
-            current["start_date"] = _ics_datetime(value)
+            current["start_date"] = _ics_datetime(value, params)
         elif key == "DTEND":
-            current["end_date"] = _ics_datetime(value)
+            current["end_date"] = _ics_datetime(value, params)
         elif key == "ATTENDEE":
             v = value.strip()
             if v.startswith("mailto:"):
@@ -554,15 +582,22 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
                   lang: str | None, content: str | None,
                   error_strategy: str = "continue",
                   missing_field_strategy: str = "empty",
-                  missing_field_substitution: str | None = None) -> dict:
+                  missing_field_substitution: str | None = None,
+                  folder_override: str | None = None) -> dict:
     """Process one change event's content → {messages, attachments,
     calendar_entries, failures} lists of dicts (schemas.py shapes).
 
     ``lang`` selects the extractor the way NiFi flow design routes FlowFiles
-    to a processor: eml → P1, mbox → P2, ics → P4; other langs yield no
-    payload rows (the sink still upserts the key).  ``error_strategy``
-    implements R2 (AbstractJavaMailProcessor.java:96-107): ``continue``
-    isolates per-message errors, ``failure`` dead-letters the whole event.
+    to a processor: eml → P1, mbox → P2, ics → P4, pst → P3; other langs
+    yield no payload rows (the sink still upserts the key).
+    ``error_strategy`` implements R2 (AbstractJavaMailProcessor.java:96-107):
+    ``continue`` isolates per-message errors, ``failure`` dead-letters the
+    whole event.  ``folder_override`` is the evaluated FOLDER_IDENTIFIER
+    expression (AbstractJavaMailProcessor.java:58-67 — an EL expression
+    over FlowFile attributes; here a Spark SQL expression over the event
+    columns, evaluated JVM-side in udfs.extract_envelope); absent, the
+    defaults mirror the reference flows: mbox → filename (= path), eml →
+    "".
     """
     out = {"messages": [], "attachments": [], "calendar_entries": [], "failures": []}
     # sha only matters for rows we actually emit — skip it for source-code
@@ -617,9 +652,11 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
 
     try:
         if lang == "eml":
-            _emit_message(parse_eml(content, folder="", message_number=0), 0)
+            folder = folder_override if folder_override is not None else ""
+            _emit_message(parse_eml(content, folder=folder, message_number=0), 0)
         elif lang == "mbox":
-            folder = path  # FOLDER_IDENTIFIER expression ≈ filename attr (ExtractMBoxFileTest.java:30-32)
+            # default FOLDER_IDENTIFIER ≈ ${filename} (ExtractMBoxFileTest.java:30-32)
+            folder = folder_override if folder_override is not None else path
             chunks = split_mbox(content)
             for i, chunk in enumerate(chunks, start=1):
                 try:

@@ -47,18 +47,21 @@ def _extract_partition(
     batches: Iterator[pd.DataFrame], error_strategy: str,
     missing_field_strategy: str = "empty",
     missing_field_substitution: str | None = None,
+    has_folder: bool = False,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
-        for offset, repo, path, commit, lang, content in zip(
+        folders = pdf["_folder"] if has_folder else [None] * len(pdf)
+        for offset, repo, path, commit, lang, content, folder in zip(
             pdf["offset"], pdf["repo"], pdf["path"], pdf["commit"],
-            pdf["lang"], pdf["content"]
+            pdf["lang"], pdf["content"], folders
         ):
             result = extract_event(
                 repo, path, int(offset), commit, lang, content,
                 error_strategy=error_strategy,
                 missing_field_strategy=missing_field_strategy,
                 missing_field_substitution=missing_field_substitution,
+                folder_override=folder,
             )
             for m in result["messages"]:
                 rows.append(("message", m, None, None, None))
@@ -75,13 +78,24 @@ def _extract_partition(
 
 def extract_envelope(events: DataFrame, error_strategy: str = "continue",
                      missing_field_strategy: str = "empty",
-                     missing_field_substitution: str | None = None) -> DataFrame:
-    """events(offset,repo,path,commit,lang,content,...) → envelope frame."""
-    projected = events.select(*_EXTRACT_COLS)
+                     missing_field_substitution: str | None = None,
+                     folder_expression: str | None = None) -> DataFrame:
+    """events(offset,repo,path,commit,lang,content,...) → envelope frame.
+
+    ``folder_expression`` — FOLDER_IDENTIFIER as a Spark SQL expression
+    over the event columns (e.g. ``concat(repo, '/', path)``), evaluated
+    JVM-side BEFORE the Arrow boundary so the Python worker receives the
+    finished string (AbstractJavaMailProcessor.java:58-67 EL analog)."""
+    cols = list(_EXTRACT_COLS)
+    if folder_expression is not None:
+        projected = events.select(
+            *cols, F.expr(folder_expression).cast("string").alias("_folder"))
+    else:
+        projected = events.select(*cols)
     return projected.mapInPandas(
         lambda it: _extract_partition(
             it, error_strategy, missing_field_strategy,
-            missing_field_substitution),
+            missing_field_substitution, folder_expression is not None),
         schema=ENVELOPE,
     )
 

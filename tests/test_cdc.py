@@ -248,3 +248,30 @@ class TestBroadcastGuard:
     def test_guard_threads_into_sink(self, spark, tmp_path):
         eng = _engine(spark, str(tmp_path / "sink"), broadcast_key_limit=7)
         assert eng.sink.broadcast_key_limit == 7
+
+
+class TestFolderExpression:
+    """FOLDER_IDENTIFIER as a Spark SQL expression, evaluated JVM-side
+    before the Arrow boundary (AbstractJavaMailProcessor.java:58-67)."""
+
+    def test_custom_expression_reaches_messages(self, spark):
+        from emailcdc.fixtures import make_mbox
+        from emailcdc.udfs import extract_envelope, split_envelope
+        df = spark.createDataFrame(
+            [("org/r", "in/a.mbox", "c", "mbox", make_mbox(3))],
+            "repo string, path string, commit string, lang string, content string",
+        ).withColumn("offset", F.lit(0).cast("long"))
+        outs = split_envelope(extract_envelope(
+            df, folder_expression="concat(repo, ':', path)"))
+        folders = {r["folder"] for r in outs["messages"].collect()}
+        assert folders == {"org/r:in/a.mbox"}
+
+    def test_engine_threads_expression(self, spark, tmp_path):
+        eng = _engine(spark, str(tmp_path / "sink"),
+                      folder_expression="upper(path)")
+        edf = _events_df(spark)
+        eng.replay(edf.filter(F.col("offset") < 10), batch_size=100)
+        msgs = eng.table("messages")
+        if msgs.count():
+            assert all(r["folder"] == r["folder"].upper()
+                       for r in msgs.select("folder").collect())

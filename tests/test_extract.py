@@ -286,3 +286,58 @@ class TestExtractEvent:
         r = ex.extract_event("r", "p", 1, "c", "mbox", content, "failure")
         assert r["messages"] == []
         assert len(r["failures"]) == 1
+
+
+class TestIcalTzid:
+    """ExtractICal.java:140-146 — ical4j DateProperty.getDate() honors
+    TZID-parameterized and VALUE=DATE datetimes; epoch-millis contract."""
+
+    def _single_event(self, dtstart_line):
+        raw = ("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:tz\r\n"
+               f"{dtstart_line}\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n")
+        events, _ = parse_ics(raw)
+        assert len(events) == 1
+        return events[0]["start_date"]
+
+    def test_tzid_converted_to_utc(self):
+        # noon New York winter time == 17:00 UTC
+        dt = self._single_event("DTSTART;TZID=America/New_York:20240101T120000")
+        assert dt.strftime("%Y-%m-%d %H:%M") == "2024-01-01 17:00"
+
+    def test_tzid_dst_aware(self):
+        # noon New York summer time == 16:00 UTC
+        dt = self._single_event("DTSTART;TZID=America/New_York:20240701T120000")
+        assert dt.strftime("%Y-%m-%d %H:%M") == "2024-07-01 16:00"
+
+    def test_value_date_is_utc_midnight(self):
+        dt = self._single_event("DTSTART;VALUE=DATE:20240315")
+        assert dt.strftime("%Y-%m-%d %H:%M") == "2024-03-15 00:00"
+
+    def test_zulu_still_utc(self):
+        dt = self._single_event("DTSTART:20240101T080000Z")
+        assert dt.strftime("%Y-%m-%d %H:%M") == "2024-01-01 08:00"
+
+    def test_unknown_tzid_falls_back_to_utc(self):
+        dt = self._single_event("DTSTART;TZID=Not/AZone:20240101T080000")
+        assert dt.strftime("%Y-%m-%d %H:%M") == "2024-01-01 08:00"
+
+
+class TestFolderExpression:
+    """FOLDER_IDENTIFIER (AbstractJavaMailProcessor.java:58-67) as an
+    explicit override on the pure-Python path."""
+
+    def test_override_applies_to_mbox(self):
+        from emailcdc.fixtures import make_mbox
+        out = extract_event("r", "p.mbox", 0, "c", "mbox", make_mbox(2),
+                            folder_override="CUSTOM")
+        assert all(m["folder"] == "CUSTOM" for m in out["messages"])
+
+    def test_override_applies_to_eml(self):
+        out = extract_event("r", "p.eml", 0, "c", "eml", make_eml(1),
+                            folder_override="CUSTOM")
+        assert out["messages"][0]["folder"] == "CUSTOM"
+
+    def test_default_mbox_folder_is_path(self):
+        from emailcdc.fixtures import make_mbox
+        out = extract_event("r", "p.mbox", 0, "c", "mbox", make_mbox(2))
+        assert all(m["folder"] == "p.mbox" for m in out["messages"])
