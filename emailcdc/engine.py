@@ -216,7 +216,12 @@ class CdcEngine:
                 self.missing_field_strategy, self.missing_field_substitution,
                 folder_expression=self.folder_expression)
             stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
-            envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
+            # lz4 for the transient staging files: they live for one batch
+            # and are read exactly once per table — compression CPU, not
+            # ratio, is what matters here (snappy costs ~2× lz4 on the
+            # string-heavy envelope; durable sink tables keep the default)
+            (envelope.write.mode("overwrite").option("compression", "lz4")
+             .partitionBy("record_type").parquet(stage_dir))
             _mark("extract+stage")
             outs = self._read_staged(stage_dir)
 
@@ -233,18 +238,24 @@ class CdcEngine:
                 "delete_count": delete_count,
                 "hot_repos": hot_repos,
             }
+            # tables whose record type never appeared in this batch have no
+            # staged partition — skip their (empty) write jobs entirely
+            upsert_tables = {"snapshot": snapshot_rows}
+            for record_type, table in (("message", "messages"),
+                                       ("attachment", "attachments"),
+                                       ("calendar", "calendar_entries")):
+                if os.path.isdir(os.path.join(stage_dir,
+                                              f"record_type={record_type}")):
+                    upsert_tables[table] = outs[table]
             self.sink.commit(
                 batch_id=batch_id,
                 offset_lo=offset_lo,
                 offset_hi=offset_hi,
-                upserts={
-                    "snapshot": snapshot_rows,
-                    "messages": outs["messages"],
-                    "attachments": outs["attachments"],
-                    "calendar_entries": outs["calendar_entries"],
-                },
+                upserts=upsert_tables,
                 delete_keys=None,
-                appends={"failures": outs["failures"]},
+                appends=({"failures": outs["failures"]}
+                         if os.path.isdir(os.path.join(
+                             stage_dir, "record_type=failure")) else {}),
                 append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,
                 # winners are already one-row-per-key: hand the sink its

@@ -277,29 +277,49 @@ class SnapshotParquetSink:
         marks_dir = os.path.join(self.root, "data", "_marks", f"snap-{snapshot_id}")
         batch_keys = marks.select(*KEY) if marks is not None else batch_keys
 
+        def _write_keyed(table: str, new_rows: DataFrame, out_dir: str) -> None:
+            stamped = new_rows.withColumn(SEQ, F.lit(batch_id).cast("long"))
+            if compacting:
+                old_visible = self._visible_before(prev, table, batch_keys)
+                if old_visible is not None:
+                    stamped = old_visible.unionByName(stamped, allowMissingColumns=True)
+            # `_bucket` is a clustered data column (NOT partitionBy: multiple
+            # delta roots with hive-style subdirs trip Spark's partition
+            # discovery).  Only COMPACTION folds repartition-cluster on it —
+            # those produce the long-lived base files whose parquet min/max
+            # stats give row-group skipping for bucket-pruned reads.  Delta
+            # commits skip the repartition: clustering a short-lived delta
+            # would shuffle the full payload (multi-KB content rows) four
+            # times per batch for files the next fold rewrites anyway.
+            stamped = stamped.withColumn("_bucket", bucket_expr(self.n_buckets))
+            if compacting:
+                stamped = stamped.repartition(min(self.n_buckets, 32), "_bucket")
+            stamped.write.mode("overwrite").parquet(out_dir)
+
+        # Submit the per-table writes concurrently: each is an independent
+        # Spark action reading the shared staged/cached inputs, so running
+        # them from a small thread pool overlaps job scheduling and keeps
+        # the executor busy instead of draining 4-6 jobs back-to-back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        futures = {}
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for table in KEYED_TABLES:
+                prev_schema = prev.schemas.get(table) if prev else None
+                new_rows = upserts.get(table)
+                out_dir = os.path.join(self.root, "data", table,
+                                       f"snap-{snapshot_id}")
+                if new_rows is not None:
+                    self._check_schema(prev_schema, new_rows)
+                    futures[table] = pool.submit(_write_keyed, table,
+                                                 new_rows, out_dir)
         for table in KEYED_TABLES:
             prev_dirs = list(prev.tables.get(table, [])) if prev else []
             prev_schema = prev.schemas.get(table) if prev else None
             new_rows = upserts.get(table)
             out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
             if new_rows is not None:
-                self._check_schema(prev_schema, new_rows)
-                stamped = new_rows.withColumn(SEQ, F.lit(batch_id).cast("long"))
-                if compacting:
-                    old_visible = self._visible_before(prev, table, batch_keys)
-                    if old_visible is not None:
-                        stamped = old_visible.unionByName(stamped, allowMissingColumns=True)
-                # `_bucket` is a clustered data column (NOT partitionBy:
-                # multiple delta roots with hive-style subdirs trip Spark's
-                # partition discovery).  repartition clusters each file to
-                # ~1-2 buckets, so parquet min/max stats on _bucket give
-                # row-group skipping for bucket-pruned reads.
-                (
-                    stamped.withColumn("_bucket", bucket_expr(self.n_buckets))
-                    .repartition(min(self.n_buckets, 32), "_bucket")
-                    .write.mode("overwrite")
-                    .parquet(out_dir)
-                )
+                futures[table].result()  # surface write errors here
                 # an all-empty write leaves no parquet files — don't register
                 # a dir Spark can't infer a schema from
                 has_files = any(
