@@ -116,17 +116,20 @@ def _drop_oversized_buckets(banded: DataFrame, keys: list[str],
     bucket is a job-killer.  Members of a bucket that large are
     overwhelmingly mutual near-dups discoverable through their OTHER
     bands, so dropping the bucket (not the docs) bounds the join at
-    O(max_bucket²) pairs per bucket with negligible recall cost.  The
-    oversized-bucket list is tiny by construction — broadcast anti-join."""
+    O(max_bucket²) pairs per bucket with negligible recall cost.
+
+    Implemented as a window count over the bucket key: it shuffles on the
+    SAME key the candidate self-join uses, so Spark's exchange reuse means
+    the (pandas-UDF-computed) signatures materialize once — a separate
+    aggregate + anti-join re-evaluated the signature UDF a third time."""
     if max_bucket is None:
         return banded
-    oversized = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select(*keys)
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
-    return banded.join(F.broadcast(oversized), keys, "left_anti")
 
 
 def minhash_lsh_candidates(
