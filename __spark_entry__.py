@@ -314,6 +314,92 @@ FROM (
 """
 
 
+def _q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q4 shape: orders with ≥1 late-shipped lineitem, counted by
+    priority — the correlated EXISTS as a conditional left-semi join.
+    (The synthetic lineitem has no commit/receipt dates, so "late" =
+    shipped more than 60 days after the order date.)"""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-10-01"))
+        .join(li, (orders.o_orderkey == li.l_orderkey)
+              & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral trade volume between two nations by year
+    (supplier nation ↔ customer nation, both directions; the synthetic
+    nation table uses NATION_<k> names)."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, supp.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+     OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     region = spark.read.parquet(f"{sf}/region.parquet")
@@ -597,6 +683,31 @@ def _duck_shingles(n: int) -> str:
         f"ELSE list_transform(range(len(toks) - {n - 1}), "
         f"i -> array_to_string(array_slice(toks, i + 1, i + {n}), ' ')) END"
     )
+
+
+def _bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counts + English stopword ratio (textstats ops the
+    token_stats query doesn't cover)."""
+    from emailcdc.ops.textstats import bpe_ish_token_count, stopword_ratio
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio_en"),
+    ).orderBy("doc_id")
+
+
+def _bpe_oracle() -> str:
+    from emailcdc.ops.textstats import _STOPWORDS, BPE_ISH
+    lits = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH.replace(chr(39), chr(39)*2)}')) AS INT) AS n_bpe_tokens,
+       round(len(list_intersect(toks, [{lits}])) * 1.0
+             / greatest(len(toks), 1), 6) AS stopword_ratio_en
+FROM t ORDER BY doc_id
+"""
 
 
 def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1107,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_last_event_per_user": _lww_last_event_per_user,
         "address_split_customers": _address_split_customers,
         "q17_small_quantity": _q17_small_quantity,
+        "q4_order_priority": _q4_order_priority,
+        "q7_volume_shipping": _q7_volume_shipping,
         "rollup_revenue": _rollup_revenue,
         "semi_anti_customers": _semi_anti_customers,
         "monthly_event_stats": _monthly_event_stats,
@@ -1118,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "token_stats_documents": _token_stats_documents,
         "quality_documents": _quality_documents,
+        "bpe_token_stats": _bpe_token_stats,
         "langid_documents": _langid_documents,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dups": _minhash_near_dups,
@@ -1148,6 +1262,8 @@ def oracle_sql() -> dict[str, str]:
         "lww_last_event_per_user": _LWW_SQL,
         "address_split_customers": _ADDR_SQL,
         "q17_small_quantity": _Q17_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q7_volume_shipping": _Q7_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "semi_anti_customers": _SEMI_ANTI_SQL,
         "monthly_event_stats": _MONTHLY_SQL,
@@ -1162,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         # sha256 is the shared Spark/DuckDB hash primitive, so the hash-built
         # ops are fully re-derivable in SQL (see _DUCK_HASH60)
+        "bpe_token_stats": _bpe_oracle(),
         "langid_documents": _langid_oracle(),
         "fingerprint_documents": _FINGERPRINT_SQL,
         "minhash_near_dups": _MINHASH_SQL,

@@ -191,3 +191,46 @@ class TestPstBinaryReader:
         from emailcdc.pst import PstError, parse_pst
         with pytest.raises(PstError):
             parse_pst(b"not a pst file at all" * 10)
+
+
+class TestLzfuRtf:
+    """MS-OXRTFCP compressed-RTF decode (no sample in the golden archive —
+    constructed vectors against the spec's initial dictionary)."""
+
+    def _hdr(self, magic, raw_size, payload):
+        import struct
+        return struct.pack("<IIII", 12 + len(payload), magic, raw_size, 0) + payload
+
+    def test_mela_raw_passthrough(self):
+        from emailcdc.pst import LZFU_MAGIC_RAW, decompress_rtf
+        blob = self._hdr(LZFU_MAGIC_RAW, 5, b"hello")
+        assert decompress_rtf(blob) == b"hello"
+
+    def test_all_literal_stream(self):
+        from emailcdc.pst import LZFU_MAGIC_COMPRESSED, decompress_rtf
+        # control byte 0 = 8 literals
+        blob = self._hdr(LZFU_MAGIC_COMPRESSED, 8, b"\x00{\\rtf1 x")
+        assert decompress_rtf(blob) == b"{\\rtf1 x"
+
+    def test_dictionary_reference_into_init_dict(self):
+        from emailcdc.pst import (
+            LZFU_MAGIC_COMPRESSED, _LZFU_INIT_DICT, decompress_rtf)
+        # one token, flag=1: offset 0, length field 8 → 10 bytes from the
+        # spec's initial dictionary
+        ref = bytes([(0 << 4) >> 8 & 0xFF, 8])  # big-endian (0x000, len-2=8)
+        blob = self._hdr(LZFU_MAGIC_COMPRESSED, 10, b"\x01" + b"\x00\x08")
+        assert decompress_rtf(blob) == _LZFU_INIT_DICT[:10] == b"{\\rtf1\\ans"
+
+    def test_backreference_to_own_output(self):
+        from emailcdc.pst import LZFU_MAGIC_COMPRESSED, _LZFU_INIT_DICT, decompress_rtf
+        # 2 literals "ab", then a ref to those literals (offset = init dict
+        # length, where the first literal landed), length 2 → "abab"
+        wpos = len(_LZFU_INIT_DICT)
+        ref = bytes([(wpos >> 4) & 0xFF, ((wpos & 0xF) << 4) | 0])
+        blob = self._hdr(LZFU_MAGIC_COMPRESSED, 4, b"\x04ab" + ref)
+        assert decompress_rtf(blob) == b"abab"
+
+    def test_truncated_header_raises(self):
+        from emailcdc.pst import PstError, decompress_rtf
+        with pytest.raises(PstError):
+            decompress_rtf(b"short")
