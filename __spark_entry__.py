@@ -1164,6 +1164,45 @@ def _pst_oracle_values() -> str:
             " n_attachments) ORDER BY subject")
 
 
+def _record_counts_per_event(spark: SparkSession, sf: str) -> DataFrame:
+    """K2 — the reference's per-FlowFile ``record.count`` attribute
+    (ExtractMBoxFile.java:141, ExtractICal.java:128 all-components quirk):
+    records emitted per source event, by kind."""
+    outs = _extract_outputs(spark)
+    msgs = outs["messages"].groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("message"))
+    cals = outs["calendar_entries"].groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("calendar"))
+    atts = outs["attachments"].groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")).withColumn("kind", F.lit("attachment"))
+    return msgs.unionByName(cals).unionByName(atts) \
+        .select("path", "kind", "n").orderBy("path", "kind")
+
+
+def _record_counts_oracle() -> str:
+    """Pure-Python reference path over the same fixture repo."""
+    from emailcdc.extract import extract_event
+    from emailcdc.fixtures import make_eml, make_ics, make_mbox
+    rows = [
+        (f"m/e{i}.eml", "eml", make_eml(i)) for i in range(5)
+    ] + [
+        ("m/big.mbox", "mbox", make_mbox(213)),
+        ("m/small.mbox", "mbox", make_mbox(4)),
+        ("m/cal.ics", "ics", make_ics(2, n_events=2, n_todos=1)),
+    ]
+    vals = []
+    for path, lang, content in rows:
+        out = extract_event("org0/fix", path, 0, "c", lang, content)
+        for kind, key in (("message", "messages"),
+                          ("calendar", "calendar_entries"),
+                          ("attachment", "attachments")):
+            if out[key]:
+                vals.append(f"('{path}', '{kind}', CAST({len(out[key])} AS BIGINT))")
+    vals.sort()
+    return ("SELECT * FROM (VALUES " + ", ".join(vals) +
+            ") AS t(path, kind, n) ORDER BY path, kind")
+
+
 def _cdc_final_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc import schemas
     from emailcdc.engine import CdcEngine
@@ -1247,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_message_counts": _mbox_message_counts,
         "ics_calendar_entries": _ics_calendar_entries,
         "pst_message_stats": _pst_message_stats,
+        "record_counts_per_event": _record_counts_per_event,
         "cdc_final_snapshot": _cdc_final_snapshot,
     }
 
@@ -1292,5 +1332,6 @@ def oracle_sql() -> dict[str, str]:
         "mbox_message_counts": _MBOX_ORACLE,
         "ics_calendar_entries": _ics_oracle_values(),
         "pst_message_stats": _pst_oracle_values(),
+        "record_counts_per_event": _record_counts_oracle(),
         "cdc_final_snapshot": _cdc_oracle_values(),
     }

@@ -38,6 +38,13 @@ def _parser() -> argparse.ArgumentParser:
     rp.add_argument("--missing-field-strategy",
                     choices=["error", "empty", "value"], default="empty")
     rp.add_argument("--missing-field-substitution", default=None)
+    rp.add_argument("--folder-expression", default=None,
+                    help="FOLDER_IDENTIFIER: Spark SQL expression over the "
+                         "event columns deriving the message folder "
+                         "(default: mbox→path, eml→'')")
+    rp.add_argument("--broadcast-key-limit", type=int, default=1_000_000,
+                    help="past this many events/batch, LWW and fold joins "
+                         "use shuffle instead of broadcast")
 
     st = sub.add_parser("stream", help="tail an events dir (Structured Streaming)")
     st.add_argument("--source", required=True)
@@ -75,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
             error_strategy=args.error_strategy,
             missing_field_strategy=args.missing_field_strategy,
             missing_field_substitution=args.missing_field_substitution,
+            folder_expression=args.folder_expression,
+            broadcast_key_limit=args.broadcast_key_limit,
         )
         events = spark.read.parquet(args.events)
         results = engine.replay(events, batch_size=args.batch_size)
