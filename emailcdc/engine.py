@@ -25,7 +25,6 @@ O(#hot repos + #touched buckets + #op kinds), constant-size.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -34,7 +33,7 @@ from pyspark.sql import functions as F
 
 from . import schemas
 from .sink import SnapshotParquetSink
-from .udfs import ENVELOPE, extract_envelope
+from .udfs import extract_envelope
 
 KEY = ["repo", "path"]
 
@@ -205,25 +204,22 @@ class CdcEngine:
                 salted = upserts
 
             # --- extraction (the payload) ---------------------------------------
-            # The envelope is parsed ONCE and staged to parquet partitioned
-            # by record_type; each output table then reads only its own
-            # partition (pruned scan, only its struct column).  Staging to
-            # disk beats caching nested rows on-heap: the four downstream
-            # writes re-scan columnar data instead of churning the GC, and
-            # a crashed commit leaves only an orphan staging dir.
+            # The envelope is parsed ONCE and written to parquet partitioned
+            # by record_type — and that write IS the delta commit for the
+            # three payload tables: the sink registers each record_type
+            # subdir directly (EnvelopedDir), so the multi-KB payload hits
+            # disk exactly once per batch (the old flow re-read and
+            # re-wrote it per table).  A crashed commit leaves only an
+            # orphan envelope dir; vacuum() removes it.
             envelope = extract_envelope(
                 salted, self.error_strategy,
                 self.missing_field_strategy, self.missing_field_substitution,
-                folder_expression=self.folder_expression)
-            stage_dir = os.path.join(self.sink.root, "_staging", f"batch-{batch_id}")
-            # lz4 for the transient staging files: they live for one batch
-            # and are read exactly once per table — compression CPU, not
-            # ratio, is what matters here (snappy costs ~2× lz4 on the
-            # string-heavy envelope; durable sink tables keep the default)
-            (envelope.write.mode("overwrite").option("compression", "lz4")
-             .partitionBy("record_type").parquet(stage_dir))
+                folder_expression=self.folder_expression
+            ).withColumn("_seq", F.lit(batch_id).cast("long"))
+            stage_dir = os.path.join(self.sink.root, "data", "_envelope",
+                                     f"batch-{batch_id}")
+            envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
             _mark("extract+stage")
-            outs = self._read_staged(stage_dir)
 
             # --- snapshot (MERGE target) rows ------------------------------------
             snapshot_rows = upserts.select(
@@ -239,23 +235,25 @@ class CdcEngine:
                 "hot_repos": hot_repos,
             }
             # tables whose record type never appeared in this batch have no
-            # staged partition — skip their (empty) write jobs entirely
-            upsert_tables = {"snapshot": snapshot_rows}
+            # envelope partition — skip them entirely; the rest register
+            # their envelope subdir as the delta (zero-copy)
+            from .sink import EnvelopedDir
+            upsert_tables: dict = {"snapshot": snapshot_rows}
             for record_type, table in (("message", "messages"),
                                        ("attachment", "attachments"),
                                        ("calendar", "calendar_entries")):
-                if os.path.isdir(os.path.join(stage_dir,
-                                              f"record_type={record_type}")):
-                    upsert_tables[table] = outs[table]
+                sub = os.path.join(stage_dir, f"record_type={record_type}")
+                if os.path.isdir(sub):
+                    upsert_tables[table] = EnvelopedDir(sub, record_type)
+            fail_sub = os.path.join(stage_dir, "record_type=failure")
             self.sink.commit(
                 batch_id=batch_id,
                 offset_lo=offset_lo,
                 offset_hi=offset_hi,
                 upserts=upsert_tables,
                 delete_keys=None,
-                appends=({"failures": outs["failures"]}
-                         if os.path.isdir(os.path.join(
-                             stage_dir, "record_type=failure")) else {}),
+                appends=({"failures": EnvelopedDir(fail_sub, "failure")}
+                         if os.path.isdir(fail_sub) else {}),
                 append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,
                 # winners are already one-row-per-key: hand the sink its
@@ -271,27 +269,10 @@ class CdcEngine:
                                event_count, upsert_count, delete_count,
                                hot_repos=tuple(hot_repos))
         finally:
+            # a failed commit leaves the envelope dir as an orphan — it is
+            # permanent data once the manifest references it, so cleanup
+            # belongs to vacuum(), not to this code path
             winners.unpersist()
-            shutil.rmtree(os.path.join(self.sink.root, "_staging",
-                                       f"batch-{batch_id}"), ignore_errors=True)
-
-    def _read_staged(self, stage_dir: str) -> dict[str, DataFrame]:
-        """Read the four output frames from the record_type-partitioned
-        staging dir; missing partitions (no rows of that kind) yield empty
-        typed frames."""
-        out: dict[str, DataFrame] = {}
-        for record_type, table in (("message", "messages"),
-                                   ("attachment", "attachments"),
-                                   ("calendar", "calendar_entries"),
-                                   ("failure", "failures")):
-            sub = os.path.join(stage_dir, f"record_type={record_type}")
-            field = record_type
-            if os.path.isdir(sub):
-                out[table] = self.spark.read.parquet(sub).select(f"{field}.*")
-            else:
-                struct_type = ENVELOPE[field].dataType
-                out[table] = self.spark.createDataFrame([], struct_type)
-        return out
 
     # --- full replay --------------------------------------------------------------
 

@@ -59,6 +59,19 @@ def bucket_expr(n_buckets: int):
 
 
 @dataclass
+class EnvelopedDir:
+    """An upsert handed to ``commit`` as data ALREADY ON DISK: a parquet
+    dir whose rows hold the table's columns inside the struct column
+    ``field`` (plus a top-level ``_seq``).  The engine's extraction stage
+    writes the envelope once, record_type-partitioned, and registers the
+    per-type subdirs — the commit then writes NOTHING for these tables
+    (zero-copy delta registration; the old path re-read and re-wrote the
+    full multi-KB payload once per table per batch)."""
+    dir: str
+    field: str
+
+
+@dataclass
 class Manifest:
     snapshot_id: int
     batch_id: int
@@ -149,18 +162,43 @@ class SnapshotParquetSink:
             .drop("_rn")
         )
 
+    def _read_dirs(self, entries: list) -> DataFrame | None:
+        """Union a table's registered data dirs.  Each entry is either a
+        plain dir path (rows hold the table columns directly) or an
+        enveloped entry ``{"dir": d, "field": f}`` (rows hold them inside
+        struct ``f``; ``_seq`` is top-level) — see EnvelopedDir."""
+        if not entries:
+            return None
+        plain = [e for e in entries if isinstance(e, str)]
+        env = [e for e in entries if not isinstance(e, str)]
+        frames = []
+        if plain:
+            frames.append(self.spark.read.option("mergeSchema", "true")
+                          .parquet(*plain))
+        # enveloped dirs sharing a field can be read in one pass
+        by_field: dict[str, list[str]] = {}
+        for e in env:
+            by_field.setdefault(e["field"], []).append(e["dir"])
+        for field, dirs in by_field.items():
+            frames.append(
+                self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+                .select(f"{field}.*", SEQ))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def read_table(self, table: str, buckets: list[int] | None = None,
                    with_seq: bool = False) -> DataFrame | None:
         """Current visible snapshot of a table (MOR merge of base+deltas)."""
         manifest = self.read_manifest()
         if manifest is None or table not in manifest.tables:
             return None
-        dirs = manifest.tables[table]
-        if not dirs:
+        rows = self._read_dirs(manifest.tables[table])
+        if rows is None:
             return None
-        rows = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         if table in APPEND_TABLES:
-            return rows
+            return rows.drop(SEQ) if SEQ in rows.columns and not with_seq else rows
         if buckets is not None:
             rows = rows.filter(bucket_expr(self.n_buckets).isin(buckets))
         latest = self._latest_marks(manifest)
@@ -277,8 +315,15 @@ class SnapshotParquetSink:
         marks_dir = os.path.join(self.root, "data", "_marks", f"snap-{snapshot_id}")
         batch_keys = marks.select(*KEY) if marks is not None else batch_keys
 
-        def _write_keyed(table: str, new_rows: DataFrame, out_dir: str) -> None:
-            stamped = new_rows.withColumn(SEQ, F.lit(batch_id).cast("long"))
+        def _stamped_frame(val) -> DataFrame:
+            """Upsert rows with the SEQ stamp, whatever form they arrived in."""
+            if isinstance(val, EnvelopedDir):
+                # the engine stamped SEQ when it wrote the envelope
+                return self._read_dirs([{"dir": val.dir, "field": val.field}])
+            return val.withColumn(SEQ, F.lit(batch_id).cast("long"))
+
+        def _write_keyed(table: str, val, out_dir: str) -> None:
+            stamped = _stamped_frame(val)
             if compacting:
                 old_visible = self._visible_before(prev, table, batch_keys)
                 if old_visible is not None:
@@ -296,45 +341,55 @@ class SnapshotParquetSink:
                 stamped = stamped.repartition(min(self.n_buckets, 32), "_bucket")
             stamped.write.mode("overwrite").parquet(out_dir)
 
+        def _has_parquet(d: str) -> bool:
+            return any(f.endswith(".parquet")
+                       for _, _, files in os.walk(d) for f in files)
+
         # Submit the per-table writes concurrently: each is an independent
         # Spark action reading the shared staged/cached inputs, so running
         # them from a small thread pool overlaps job scheduling and keeps
         # the executor busy instead of draining 4-6 jobs back-to-back.
+        # EnvelopedDir upserts on a NON-compacting commit write nothing at
+        # all — the staged dir itself is registered as the delta.
         from concurrent.futures import ThreadPoolExecutor
 
         futures = {}
         with ThreadPoolExecutor(max_workers=4) as pool:
             for table in KEYED_TABLES:
                 prev_schema = prev.schemas.get(table) if prev else None
-                new_rows = upserts.get(table)
+                val = upserts.get(table)
                 out_dir = os.path.join(self.root, "data", table,
                                        f"snap-{snapshot_id}")
-                if new_rows is not None:
-                    self._check_schema(prev_schema, new_rows)
-                    futures[table] = pool.submit(_write_keyed, table,
-                                                 new_rows, out_dir)
+                if val is None:
+                    continue
+                self._check_schema(prev_schema, _stamped_frame(val))
+                if isinstance(val, EnvelopedDir) and not compacting:
+                    continue  # zero-copy registration below
+                futures[table] = pool.submit(_write_keyed, table, val, out_dir)
         for table in KEYED_TABLES:
             prev_dirs = list(prev.tables.get(table, [])) if prev else []
             prev_schema = prev.schemas.get(table) if prev else None
-            new_rows = upserts.get(table)
+            val = upserts.get(table)
             out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
-            if new_rows is not None:
-                futures[table].result()  # surface write errors here
-                # an all-empty write leaves no parquet files — don't register
-                # a dir Spark can't infer a schema from
-                has_files = any(
-                    f.endswith(".parquet")
-                    for _, _, files in os.walk(out_dir) for f in files
-                )
-                if has_files:
-                    new_tables[table] = [out_dir] if compacting else prev_dirs + [out_dir]
-                else:
-                    new_tables[table] = [] if compacting else prev_dirs
-                new_schemas[table] = self._merged_schema_json(prev_schema, new_rows)
-            else:
+            if val is None:
                 new_tables[table] = prev_dirs
                 if prev_schema:
                     new_schemas[table] = prev_schema
+                continue
+            if isinstance(val, EnvelopedDir) and not compacting:
+                entry = {"dir": val.dir, "field": val.field}
+                new_tables[table] = (prev_dirs + [entry]
+                                     if _has_parquet(val.dir) else prev_dirs)
+            else:
+                futures[table].result()  # surface write errors here
+                # an all-empty write leaves no parquet files — don't register
+                # a dir Spark can't infer a schema from
+                if _has_parquet(out_dir):
+                    new_tables[table] = [out_dir] if compacting else prev_dirs + [out_dir]
+                else:
+                    new_tables[table] = [] if compacting else prev_dirs
+            new_schemas[table] = self._merged_schema_json(
+                prev_schema, _stamped_frame(val))
 
         # ---- marks write (after table data, before manifest)
         if marks is not None:
@@ -357,7 +412,18 @@ class SnapshotParquetSink:
             rows = appends.get(table)
             local = append_rows.get(table)
             out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
-            if local is not None and local[0]:
+            if isinstance(rows, EnvelopedDir):
+                if _has_parquet(rows.dir):
+                    entry = {"dir": rows.dir, "field": rows.field}
+                    new_tables[table] = prev_dirs + [entry]
+                    new_schemas[table] = self._merged_schema_json(
+                        prev.schemas.get(table) if prev else None,
+                        self._read_dirs([entry]))
+                else:
+                    new_tables[table] = prev_dirs
+                    if prev and table in prev.schemas:
+                        new_schemas[table] = prev.schemas[table]
+            elif local is not None and local[0]:
                 row_list, schema = local
                 os.makedirs(out_dir, exist_ok=True)
                 self._write_local_parquet(
@@ -401,10 +467,9 @@ class SnapshotParquetSink:
                         batch_keys: DataFrame | None) -> DataFrame | None:
         """Visible rows of ``table`` at the previous snapshot, minus keys
         replaced by the current batch (used by compaction folds)."""
-        dirs = prev.tables.get(table, [])
-        if not dirs:
+        rows = self._read_dirs(prev.tables.get(table, []))
+        if rows is None:
             return None
-        rows = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
         if "_bucket" in rows.columns:
             rows = rows.drop("_bucket")
         latest = self._latest_marks(prev)
@@ -497,7 +562,8 @@ class SnapshotParquetSink:
         if manifest:
             for dirs in manifest.tables.values():
                 for d in dirs:
-                    live.add(os.path.normpath(d))
+                    path = d if isinstance(d, str) else d["dir"]
+                    live.add(os.path.normpath(path))
             for d in manifest.marks:
                 live.add(os.path.normpath(d))
         removed = 0
@@ -510,5 +576,16 @@ class SnapshotParquetSink:
                 sdir = os.path.join(tdir, snap)
                 if os.path.normpath(sdir) not in live:
                     shutil.rmtree(sdir, ignore_errors=True)
+                    removed += 1
+        # enveloped staging: a batch dir is live while ANY of its
+        # record_type subdirs is referenced by the manifest
+        env_root = os.path.join(data_root, "_envelope")
+        if os.path.isdir(env_root):
+            for batch in os.listdir(env_root):
+                bdir = os.path.join(env_root, batch)
+                subs = [os.path.normpath(os.path.join(bdir, s))
+                        for s in os.listdir(bdir)] if os.path.isdir(bdir) else []
+                if not any(s in live for s in subs):
+                    shutil.rmtree(bdir, ignore_errors=True)
                     removed += 1
         return removed

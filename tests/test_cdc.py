@@ -275,3 +275,37 @@ class TestFolderExpression:
         if msgs.count():
             assert all(r["folder"] == r["folder"].upper()
                        for r in msgs.select("folder").collect())
+
+
+class TestEnvelopeDeltas:
+    """Zero-copy envelope registration: the parse output IS the delta;
+    compaction folds dereference the envelope dirs and vacuum collects
+    them."""
+
+    def test_fold_then_vacuum_collects_envelope_dirs(self, spark, tmp_path):
+        import os
+        sink_dir = str(tmp_path / "sink")
+        sink = SnapshotParquetSink(spark, sink_dir, n_buckets=8,
+                                   compact_every=2)
+        eng = CdcEngine(spark, sink)
+        eng.replay(_events_df(spark), batch_size=15)  # several batches → folds
+        assert _snap_keys(eng) == set(EXPECTED)
+        env_root = os.path.join(sink_dir, "data", "_envelope")
+        before = len(os.listdir(env_root)) if os.path.isdir(env_root) else 0
+        removed = sink.vacuum()
+        # at least the pre-fold batches' envelope dirs are dereferenced
+        assert removed > 0 or before == 0
+        # reads still intact after vacuum
+        assert _snap_keys(eng) == set(EXPECTED)
+        assert eng.table("messages").count() > 0
+
+    def test_messages_readable_from_envelope_entry(self, spark, tmp_path):
+        eng = _engine(spark, str(tmp_path / "sink"))
+        eng.replay(_events_df(spark), batch_size=10_000)  # single delta, no fold
+        manifest = eng.sink.read_manifest()
+        entries = manifest.tables["messages"]
+        assert any(isinstance(e, dict) and e.get("field") == "message"
+                   for e in entries)
+        msgs = eng.table("messages")
+        assert msgs.count() > 0
+        assert "_seq" not in msgs.columns
