@@ -79,19 +79,33 @@ def _generate(events_path: str) -> None:
 
 def _replay_run(parallelism: int, events_path: str) -> float:
     """Full replay in THIS process at local[parallelism]; returns events/sec.
-    Caller controls CPU affinity."""
+    Caller controls CPU affinity.
+
+    A small untimed warmup replay runs first (throwaway sink): it absorbs
+    the once-per-JVM costs — whole-stage codegen compilation, Python
+    worker spawn, Arrow serializer init — that a long-running CDC service
+    pays once at startup, not per batch.  Without it the first timed batch
+    carries ~5 s of constant JIT cost, which skews the cross-level
+    scaling-efficiency comparison (the constant is a bigger share of the
+    faster level's wall time)."""
     from emailcdc.engine import CdcEngine
     from emailcdc.sink import SnapshotParquetSink
     spark = _bench_session(f"local[{parallelism}]", parallelism)
     sink_root = tempfile.mkdtemp(prefix=f"bench_sink_{parallelism}_", dir=TMPDIR)
+    warm_root = tempfile.mkdtemp(prefix=f"bench_warm_{parallelism}_", dir=TMPDIR)
     try:
+        from pyspark.sql import functions as F
         events = spark.read.parquet(events_path)
+        warm = CdcEngine(spark, SnapshotParquetSink(spark, warm_root, n_buckets=8))
+        warm.replay(events.filter(F.col("offset") < 2000),
+                    batch_size=2000, max_batches=1)
         engine = CdcEngine(spark, SnapshotParquetSink(spark, sink_root, n_buckets=64))
         t0 = time.time()
         engine.replay(events, batch_size=max(N_EVENTS // N_BATCHES, 1))
         return N_EVENTS / (time.time() - t0)
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)
+        shutil.rmtree(warm_root, ignore_errors=True)
         spark.stop()
 
 
