@@ -227,6 +227,20 @@ class TestVacuumAndCrash:
         eng2.sink.vacuum()
         assert _snap_keys(eng2) == set(EXPECTED)  # reads intact post-vacuum
 
+    def test_orphan_envelope_dir_vacuumed(self, spark, sink_dir, tmp_path):
+        # crash AFTER the envelope write but BEFORE the manifest: the
+        # orphan batch dir must be collected, referenced ones kept
+        import os
+        eng = _engine(spark, sink_dir)
+        eng.replay(_events_df(spark), batch_size=10_000)
+        orphan = os.path.join(sink_dir, "data", "_envelope", "batch-999")
+        os.makedirs(os.path.join(orphan, "record_type=message"))
+        removed = eng.sink.vacuum()
+        assert removed >= 1
+        assert not os.path.isdir(orphan)
+        assert _snap_keys(eng) == set(EXPECTED)
+        assert eng.table("messages").count() > 0
+
 
 class TestBroadcastGuard:
     """VERDICT r1: past broadcast_key_limit the LWW semi-join and the
