@@ -759,16 +759,18 @@ def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import minhash_dedup
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return (
-        minhash_dedup(docs, "text", "doc_id", threshold=0.4, n_hashes=64, bands=8)
+        minhash_dedup(docs, "text", "doc_id", threshold=0.4,
+                      n_hashes=128, bands=64)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
 
 # Oracle = EXACT all-pairs 5-gram Jaccard ≥ threshold.  The LSH output
-# equals it when banding recall is 1 at this threshold — verified to hold
-# on the driver's documents table (near-dup pairs there sit at j ≥ 0.7,
-# where 8 bands × 8 rows catch everything); the oracle is thus a true
+# equals it when banding recall is 1 at the threshold: with 64 bands of
+# 2 rows, P(miss a j=0.4 pair) = (1-0.4²)^64 ≈ 1.5e-5 — verified equal on
+# the driver's documents table at sf0.01 AND sf0.1 (the earlier 8×8-row
+# banding missed 3 of 256 pairs at sf0.1).  The oracle is thus a true
 # semantic check: any recall loss or verification bug breaks the hash.
 _MINHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
