@@ -72,24 +72,34 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
 def _stream_fn(gap_minutes: int):
     gap_s = gap_minutes * 60
 
+    # total_value accumulates in integer MICRO-units (value quantized to
+    # 6 dp), mirroring the batch variant's decimal(18,6) sum exactly —
+    # float accumulation is order-dependent in the last ulp and could
+    # round a half-cent boundary differently from the batch path
+    def _micros(value: float) -> int:
+        return int(round(float(value) * 1_000_000))
+
+    def _emit_total(total_micro: int) -> float:
+        return round(total_micro / 1_000_000, 2)
+
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                idx, n, start, end, total = state.get
+                idx, n, start, end, total_micro = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [{"user_id": user_id, "session_idx": idx, "n_events": n,
                       "start_ts": pd.Timestamp(start, unit="us"),
                       "end_ts": pd.Timestamp(end, unit="us"),
-                      "total_value": round(total, 2)}]
+                      "total_value": _emit_total(total_micro)}]
                 )
             return
         rows = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            idx, n, start, end, total = state.get
+            idx, n, start, end, total_micro = state.get
         else:
-            idx, n, start, end, total = 0, 0, None, None, 0.0
+            idx, n, start, end, total_micro = 0, 0, None, None, 0
         out = []
         for ts, value in zip(rows["ts"], rows["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
@@ -98,14 +108,14 @@ def _stream_fn(gap_minutes: int):
                             "n_events": n,
                             "start_ts": pd.Timestamp(start, unit="us"),
                             "end_ts": pd.Timestamp(end, unit="us"),
-                            "total_value": round(total, 2)})
-                idx, n, start, end, total = idx + 1, 0, None, None, 0.0
+                            "total_value": _emit_total(total_micro)})
+                idx, n, start, end, total_micro = idx + 1, 0, None, None, 0
             if n == 0:
                 start = ts_us
             n += 1
             end = ts_us
-            total += float(value)
-        state.update((idx, n, start, end, total))
+            total_micro += _micros(value)
+        state.update((idx, n, start, end, total_micro))
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(out)
@@ -123,7 +133,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             StructField("n_events", LongType()),
             StructField("start_us", LongType()),
             StructField("end_us", LongType()),
-            StructField("total_value", DoubleType()),
+            # integer micro-units — exact, mirrors the batch decimal sum
+            StructField("total_micro", LongType()),
         ]
     )
     return (
