@@ -593,6 +593,49 @@ FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
 
+# --- shared DuckDB SQL fragments ------------------------------------------
+# hash60 (textstats.hash60): sha256 is the one hash primitive Spark and
+# DuckDB share bit-for-bit; 15 hex chars = 60 bits inside a signed long.
+_DUCK_HASH60 = "CAST('0x' || substr(sha256({s}), 1, 15) AS BIGINT)"
+# Catalyst tokens(): F.split(F.trim(text), '\\s+')
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB mirror of textstats.shingles(col, n) over a ``toks`` column."""
+    return (
+        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(range(len(toks) - {n - 1}), "
+        f"i -> array_to_string(array_slice(toks, i + 1, i + {n}), ' ')) END"
+    )
+
+
+def _bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counts + English stopword ratio (textstats ops the
+    token_stats query doesn't cover)."""
+    from emailcdc.ops.textstats import bpe_ish_token_count, stopword_ratio
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio_en"),
+    ).orderBy("doc_id")
+
+
+def _bpe_oracle() -> str:
+    from emailcdc.ops.textstats import _STOPWORDS, BPE_ISH
+    lits = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH.replace(chr(39), chr(39)*2)}')) AS INT) AS n_bpe_tokens,
+       round(len(list_intersect(toks, [{lits}])) * 1.0
+             / greatest(len(toks), 1), 6) AS stopword_ratio_en
+FROM t ORDER BY doc_id
+"""
+
+
+
 def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import exact_dup_groups
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -612,6 +655,69 @@ SELECT count(*) AS n_unique,
        CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
 FROM (
   SELECT sha256(concat_ws(chr(31), text)) AS h, count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+"""
+
+
+def _decontaminate_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): survivors after
+    dropping exact matches and >0-shingle-overlap docs vs a 'benchmark'
+    slice of the corpus (doc_id < 10)."""
+    from emailcdc.ops.dedup import decontaminate_exact, decontaminate_ngram
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10).select("text")
+    after_exact = decontaminate_exact(docs, bench)
+    after_ngram = decontaminate_ngram(docs, bench, "doc_id", shingle_n=8)
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(after_exact.agg(F.count(F.lit(1)).alias("n_after_exact")))
+        .crossJoin(after_ngram.agg(F.count(F.lit(1)).alias("n_after_ngram")))
+    )
+
+
+_DECON_SQL = f"""
+WITH bench AS (SELECT text FROM documents WHERE doc_id < 10),
+bsh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(list_distinct({_duck_shingles(8)})) AS s
+    FROM (SELECT {_DUCK_TOKS} AS toks FROM bench)
+  )
+),
+dsh AS (
+  SELECT doc_id, list_distinct({_duck_shingles(8)}) AS sh
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+),
+blist AS (SELECT list(s) AS bl FROM bsh),
+overlap AS (
+  SELECT d.doc_id FROM dsh d CROSS JOIN blist
+  WHERE len(list_intersect(d.sh, blist.bl)) > 0
+)
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM documents
+        WHERE sha256(text) NOT IN (SELECT sha256(text) FROM bench)) AS n_after_exact,
+       (SELECT count(*) FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM overlap)) AS n_after_ngram
+"""
+
+
+def _normalized_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lowercase, collapsed whitespace) —
+    the canonical-form dedup key most pipelines use."""
+    from emailcdc.ops.dedup import exact_dup_groups
+    from emailcdc.ops.textstats import normalize_text
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    normed = docs.select("doc_id", normalize_text("text").alias("text"))
+    return exact_dup_groups(normed, ["text"], "doc_id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("dup_count").alias("n_rows"),
+    )
+
+
+_NORMDEDUP_SQL = """
+SELECT count(*) AS n_unique, CAST(sum(c) AS BIGINT) AS n_rows FROM (
+  SELECT sha256(concat_ws(chr(31), trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS h,
+         count(*) AS c
   FROM documents GROUP BY 1
 )
 """
@@ -664,48 +770,6 @@ SELECT doc_id,
                 THEN 1.0 ELSE 0.5 END
          + (1.0 - least(praw * 5, 1.0))
        ) / 3.0, 6) AS quality
-FROM t ORDER BY doc_id
-"""
-
-
-# --- shared DuckDB SQL fragments ------------------------------------------
-# hash60 (textstats.hash60): sha256 is the one hash primitive Spark and
-# DuckDB share bit-for-bit; 15 hex chars = 60 bits inside a signed long.
-_DUCK_HASH60 = "CAST('0x' || substr(sha256({s}), 1, 15) AS BIGINT)"
-# Catalyst tokens(): F.split(F.trim(text), '\\s+')
-_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
-
-
-def _duck_shingles(n: int) -> str:
-    """DuckDB mirror of textstats.shingles(col, n) over a ``toks`` column."""
-    return (
-        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
-        f"ELSE list_transform(range(len(toks) - {n - 1}), "
-        f"i -> array_to_string(array_slice(toks, i + 1, i + {n}), ' ')) END"
-    )
-
-
-def _bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-ish token counts + English stopword ratio (textstats ops the
-    token_stats query doesn't cover)."""
-    from emailcdc.ops.textstats import bpe_ish_token_count, stopword_ratio
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio_en"),
-    ).orderBy("doc_id")
-
-
-def _bpe_oracle() -> str:
-    from emailcdc.ops.textstats import _STOPWORDS, BPE_ISH
-    lits = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
-    return f"""
-WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{BPE_ISH.replace(chr(39), chr(39)*2)}')) AS INT) AS n_bpe_tokens,
-       round(len(list_intersect(toks, [{lits}])) * 1.0
-             / greatest(len(toks), 1), 6) AS stopword_ratio_en
 FROM t ORDER BY doc_id
 """
 
@@ -1270,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _windowed_event_counts,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
+        "decontaminate_documents": _decontaminate_documents,
+        "normalized_dedup_documents": _normalized_dedup_documents,
         "token_stats_documents": _token_stats_documents,
         "quality_documents": _quality_documents,
         "bpe_token_stats": _bpe_token_stats,
@@ -1314,6 +1380,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_order": _ASOF_SQL,
         "windowed_event_counts": _WINDOWED_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
+        "decontaminate_documents": _DECON_SQL,
+        "normalized_dedup_documents": _NORMDEDUP_SQL,
         "token_stats_documents": _TOKENS_SQL,
         "quality_documents": _QUALITY_SQL,
         "embedding_norms": _NORMS_SQL,

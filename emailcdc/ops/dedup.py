@@ -391,3 +391,47 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
         .select("id_a", "id_b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+def decontaminate_exact(df: DataFrame, bench: DataFrame, text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Drop corpus docs whose text exactly matches a benchmark document
+    (training-data hygiene: held-out eval sets must not leak into the
+    corpus).  Hash anti-join on sha256 — the benchmark side is small and
+    broadcastable; the corpus never shuffles."""
+    bh = bench.select(F.sha2(F.col(bench_text_col), 256).alias("_bh")).distinct()
+    return (
+        df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .join(F.broadcast(bh), F.col("_h") == F.col("_bh"), "left_anti")
+        .drop("_h")
+    )
+
+
+def decontaminate_ngram(df: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str = "text", bench_text_col: str = "text",
+                        shingle_n: int = 8,
+                        max_overlap: int = 0) -> DataFrame:
+    """Drop corpus docs sharing more than ``max_overlap`` word n-grams with
+    ANY benchmark doc — catches paraphrase-adjacent leaks exact matching
+    misses.  Benchmark shingles explode to a (small) broadcastable set;
+    the corpus explodes its shingles, semi-joins, and docs whose distinct
+    hit count exceeds the cap are dropped.  One corpus shuffle on doc id
+    for the hit count; at 10^9 docs the benchmark side stays tiny so the
+    probe is map-side."""
+    bsh = (
+        bench.select(F.explode(F.array_distinct(
+            shingles(bench_text_col, shingle_n))).alias("_s"))
+        .distinct()
+    )
+    hits = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.array_distinct(
+                      shingles(text_col, shingle_n))).alias("_s"))
+        .join(F.broadcast(bsh), "_s", "left_semi")
+        .groupBy("_id").agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") > max_overlap)
+        .select("_id")
+    )
+    return df.join(hits.withColumnRenamed("_id", id_col), id_col, "left_anti")

@@ -125,3 +125,11 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         langid(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    whitespace runs to single spaces, trim.  Pure Catalyst — and exactly
+    mirrored by lower/regexp_replace/trim in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

@@ -317,3 +317,51 @@ class TestIvfRecall:
     def test_monotone_in_probes(self, frames):
         r2, r4, r8 = (self._recall(frames, n) for n in (2, 4, 8))
         assert r2 <= r4 <= r8
+
+
+class TestDecontamination:
+    """Benchmark decontamination: eval-set leaks must not survive."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact leak
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),   # 8-gram overlap
+            (3, "totally unrelated words nothing shared with the benchmark set here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def bench(self, spark):
+        return spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta eta theta iota kappa",)],
+            "text string")
+
+    def test_exact_drops_only_exact_matches(self, corpus, bench):
+        kept = {r["doc_id"] for r in
+                dedup.decontaminate_exact(corpus, bench).collect()}
+        assert kept == {2, 3}
+
+    def test_ngram_drops_overlapping_docs(self, corpus, bench):
+        kept = {r["doc_id"] for r in
+                dedup.decontaminate_ngram(corpus, bench, "doc_id",
+                                          shingle_n=8).collect()}
+        assert kept == {3}  # doc 2 shares 8-gram windows with the benchmark
+
+    def test_overlap_threshold(self, corpus, bench):
+        # doc 2 shares exactly 2 of its 8-shingles with the benchmark
+        kept = {r["doc_id"] for r in
+                dedup.decontaminate_ngram(corpus, bench, "doc_id",
+                                          shingle_n=8, max_overlap=2).collect()}
+        assert 2 in kept and 3 in kept
+
+
+class TestNormalizeText:
+    def test_canonical_form(self, spark):
+        df = spark.createDataFrame(
+            [(0, "  Hello   WORLD \t foo  "), (1, "hello world foo")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["n"] for r in
+               df.select("doc_id", textstats.normalize_text("text").alias("n")).collect()}
+        assert out[0] == out[1] == "hello world foo"
