@@ -400,6 +400,61 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's revenue share of PROMO-part trade by
+    year — conditional aggregation as a ratio of two sums."""
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    sn = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")
+                          .select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"))
+        .join(sn, li.l_suppkey == F.col("s_suppkey"))
+        .withColumn("volume",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)"))
+    )
+    return (
+        joined.groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_9",
+                             F.col("volume")).otherwise(F.lit(0).cast("decimal(18,6)")))
+                .cast("double")
+                / F.sum("volume").cast("double"), 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_year")
+    )
+
+
+_Q8_SQL = """
+SELECT l_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_items
+FROM (
+  SELECT year(l_shipdate) AS l_year, n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+)
+GROUP BY l_year ORDER BY l_year
+"""
+
+
 def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     region = spark.read.parquet(f"{sf}/region.parquet")
@@ -1325,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": _q17_small_quantity,
         "q4_order_priority": _q4_order_priority,
         "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
         "rollup_revenue": _rollup_revenue,
         "semi_anti_customers": _semi_anti_customers,
         "monthly_event_stats": _monthly_event_stats,
@@ -1372,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity": _Q17_SQL,
         "q4_order_priority": _Q4_SQL,
         "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "semi_anti_customers": _SEMI_ANTI_SQL,
         "monthly_event_stats": _MONTHLY_SQL,

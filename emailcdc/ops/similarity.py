@@ -89,15 +89,80 @@ def _assign_cells(vec_col: str, centroids: np.ndarray, n_probe: int):
     return assign
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_cells: int = 16,
+                        n_iters: int = 5) -> tuple[np.ndarray, list[float]]:
+    """Lloyd k-means over the corpus for IVF cells: seeded init (the same
+    deterministic sha256 pick ``ivf_topk`` defaults to), then per
+    iteration one distributed assignment pass (Arrow-batched numpy) + a
+    per-cell elementwise mean.  Only the (n_cells × dim) centroid matrix
+    and per-iteration inertia ever reach the driver — the corpus never
+    does, so the loop is 100 TB-shaped: each iteration is one scan + one
+    n_cells-key aggregation.
+
+    Returns (centroids, inertia_per_iteration) — inertia = mean(1 -
+    cosine to the assigned centroid), monotone non-increasing on a fixed
+    corpus (standard Lloyd convergence)."""
+    cents = _seeded_centroids(corpus, vec_col, id_col, n_cells)
+    dim = cents.shape[1]
+    inertias: list[float] = []
+    for _ in range(n_iters):
+        schema = corpus.select(id_col, vec_col).schema.add(
+            "_cells", ArrayType(IntegerType()))
+        assigned = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(_assign_cells(vec_col, cents, 1), schema=schema)
+            .select(vec_col, F.element_at("_cells", 1).alias("_cell"))
+        )
+        vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda a, v: a + v * v))
+        unit = F.transform(vecd, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        stats = (
+            assigned.withColumn("_u", unit)
+            .groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 *[F.sum(F.element_at("_u", i + 1)).alias(f"_s{i}")
+                   for i in range(dim)])
+            .collect()
+        )
+        new = cents.copy()
+        for r in stats:
+            c = int(r["_cell"])
+            new[c] = np.array([r[f"_s{i}"] for i in range(dim)]) / max(r["_n"], 1)
+        cents = new
+        # inertia on the UPDATED centroids' assignment distance
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        sims = (
+            assigned.withColumn("_u", unit)
+            .select(F.col("_cell"), F.col("_u"))
+        )
+        # driver-free inertia: mean over rows of (1 - cos to assigned cell)
+        # computed with the PREVIOUS assignment and NEW centroid — a
+        # standard upper bound that still decreases monotonically
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cn[c]]) for c in range(n_cells)
+        ])
+        cos = F.aggregate(
+            F.zip_with(F.col("_u"), F.element_at(cent_arr, F.col("_cell") + 1),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda a, v: a + v)
+        inertias.append(
+            sims.agg(F.avg(F.lit(1.0) - cos).alias("i")).collect()[0]["i"])
+    return cents, inertias
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF-bucketed ANN: corpus rows live in their nearest cell; a query
     scans only its n_probe nearest cells.  Approximate — recall grows with
-    n_probe (n_probe == n_cells degrades to exact)."""
-    spark = corpus.sparkSession
-    centroids = _seeded_centroids(corpus, vec_col, id_col, n_cells)
+    n_probe (n_probe == n_cells degrades to exact).  ``centroids``
+    overrides the deterministic seeded pick (e.g. a trained matrix from
+    ``train_ivf_centroids``)."""
+    if centroids is None:
+        centroids = _seeded_centroids(corpus, vec_col, id_col, n_cells)
 
     corpus_schema = corpus.select(id_col, vec_col).schema.add("_cells", ArrayType(IntegerType()))
     c_assigned = (
