@@ -336,13 +336,54 @@ def _ics_unfold(raw: str) -> list[str]:
     return [l for l in lines if l]
 
 
-def _ics_datetime(value: str, params: dict[str, str] | None = None) -> datetime | None:
+def _ics_vtimezones(lines: list[str]) -> dict[str, "timedelta"]:
+    """Custom timezone map from VTIMEZONE components: TZID → the STANDARD
+    section's TZOFFSETTO as a fixed offset.
+
+    Documented limit: DST transition RRULEs are NOT evaluated (ical4j
+    does) — the STANDARD offset applies year-round for custom TZIDs.
+    IANA-named TZIDs never reach this map (zoneinfo handles them,
+    DST-correct)."""
+    from datetime import timedelta
+
+    out: dict[str, timedelta] = {}
+    tzid: str | None = None
+    section: str | None = None
+    in_vtz = False
+    for line in lines:
+        key_part, _, value = line.partition(":")
+        key = key_part.split(";")[0].upper()
+        v = value.strip().upper()
+        if key == "BEGIN" and v == "VTIMEZONE":
+            in_vtz, tzid = True, None
+        elif key == "END" and v == "VTIMEZONE":
+            in_vtz = False
+        elif in_vtz:
+            if key == "TZID":
+                tzid = value.strip()
+            elif key == "BEGIN":
+                section = v
+            elif key == "END":
+                section = None
+            elif key == "TZOFFSETTO" and section == "STANDARD" and tzid:
+                m = re.fullmatch(r"([+-])(\d{2})(\d{2})(\d{2})?", value.strip())
+                if m:
+                    sign = 1 if m.group(1) == "+" else -1
+                    out[tzid] = sign * timedelta(
+                        hours=int(m.group(2)), minutes=int(m.group(3)),
+                        seconds=int(m.group(4) or 0))
+    return out
+
+
+def _ics_datetime(value: str, params: dict[str, str] | None = None,
+                  vtz: dict | None = None) -> datetime | None:
     """DTSTART/DTEND/CREATED value → aware UTC datetime.
 
     ical4j semantics (ExtractICal.java:140-146 via DateProperty.getDate()):
     - trailing 'Z'                → UTC instant
     - ``TZID=<zone>`` parameter   → local time in that zone (IANA name via
-      zoneinfo), converted to UTC
+      zoneinfo, DST-correct), converted to UTC; custom TZIDs defined by a
+      VTIMEZONE block use its STANDARD offset (``_ics_vtimezones``)
     - ``VALUE=DATE`` / bare date  → midnight UTC (ical4j's Date type is
       UTC-anchored)
     - floating local time         → UTC (documented deviation: ical4j uses
@@ -363,8 +404,10 @@ def _ics_datetime(value: str, params: dict[str, str] | None = None) -> datetime 
             try:
                 from zoneinfo import ZoneInfo
                 return dt.replace(tzinfo=ZoneInfo(tzid)).astimezone(timezone.utc)
-            except Exception:  # noqa: BLE001 — unknown zone: fall back to UTC
+            except Exception:  # noqa: BLE001 — not an IANA name
                 pass
+            if vtz and tzid in vtz:
+                return (dt - vtz[tzid]).replace(tzinfo=timezone.utc)
         return dt.replace(tzinfo=timezone.utc)
     return None
 
@@ -379,6 +422,7 @@ def parse_ics(raw: str) -> tuple[list[dict], int]:
     dates → epoch-millis timestamps.
     """
     lines = _ics_unfold(raw)
+    vtz = _ics_vtimezones(lines)
     events: list[dict] = []
     component_count = 0
     current: dict | None = None
@@ -428,11 +472,11 @@ def parse_ics(raw: str) -> tuple[list[dict], int]:
         elif key == "URL":
             current["url"] = value
         elif key == "CREATED":
-            current["date_created"] = _ics_datetime(value, params)
+            current["date_created"] = _ics_datetime(value, params, vtz)
         elif key == "DTSTART":
-            current["start_date"] = _ics_datetime(value, params)
+            current["start_date"] = _ics_datetime(value, params, vtz)
         elif key == "DTEND":
-            current["end_date"] = _ics_datetime(value, params)
+            current["end_date"] = _ics_datetime(value, params, vtz)
         elif key == "ATTENDEE":
             v = value.strip()
             if v.startswith("mailto:"):

@@ -341,3 +341,46 @@ class TestFolderExpression:
         from emailcdc.fixtures import make_mbox
         out = extract_event("r", "p.mbox", 0, "c", "mbox", make_mbox(2))
         assert all(m["folder"] == "p.mbox" for m in out["messages"])
+
+
+class TestIcalVtimezone:
+    """Custom TZIDs defined by a VTIMEZONE block use its STANDARD offset
+    (no RRULE evaluation — documented limit vs ical4j)."""
+
+    def test_custom_tzid_standard_offset(self):
+        raw = ("BEGIN:VCALENDAR\r\n"
+               "BEGIN:VTIMEZONE\r\nTZID:Corp/HQ\r\n"
+               "BEGIN:STANDARD\r\nTZOFFSETTO:+0530\r\nEND:STANDARD\r\n"
+               "END:VTIMEZONE\r\n"
+               "BEGIN:VEVENT\r\nSUMMARY:s\r\n"
+               "DTSTART;TZID=Corp/HQ:20240101T120000\r\n"
+               "END:VEVENT\r\nEND:VCALENDAR\r\n")
+        events, count = parse_ics(raw)
+        assert len(events) == 1
+        # VTIMEZONE is a component too → record.count quirk counts it
+        assert count == 2
+        # noon at +05:30 == 06:30 UTC
+        assert events[0]["start_date"].strftime("%H:%M") == "06:30"
+
+    def test_negative_offset(self):
+        raw = ("BEGIN:VCALENDAR\r\n"
+               "BEGIN:VTIMEZONE\r\nTZID:X\r\n"
+               "BEGIN:STANDARD\r\nTZOFFSETTO:-0700\r\nEND:STANDARD\r\n"
+               "END:VTIMEZONE\r\n"
+               "BEGIN:VEVENT\r\nSUMMARY:s\r\n"
+               "DTSTART;TZID=X:20240101T120000\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n")
+        events, _ = parse_ics(raw)
+        assert events[0]["start_date"].strftime("%H:%M") == "19:00"
+
+    def test_iana_tzid_unaffected_by_vtimezone(self):
+        # an IANA TZID keeps DST-correct zoneinfo handling even when a
+        # VTIMEZONE with the same id declares a bogus offset
+        raw = ("BEGIN:VCALENDAR\r\n"
+               "BEGIN:VTIMEZONE\r\nTZID:America/New_York\r\n"
+               "BEGIN:STANDARD\r\nTZOFFSETTO:+0900\r\nEND:STANDARD\r\n"
+               "END:VTIMEZONE\r\n"
+               "BEGIN:VEVENT\r\nSUMMARY:s\r\n"
+               "DTSTART;TZID=America/New_York:20240701T120000\r\n"
+               "END:VEVENT\r\nEND:VCALENDAR\r\n")
+        events, _ = parse_ics(raw)
+        assert events[0]["start_date"].strftime("%H:%M") == "16:00"  # EDT
