@@ -829,6 +829,46 @@ FROM t ORDER BY doc_id
 """
 
 
+def _filtered_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-training hygiene filter (length window + punctuation cap +
+    language allowlist) — one pushdown-friendly Catalyst predicate."""
+    from emailcdc.ops.textstats import filter_documents, token_count
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = filter_documents(docs, min_tokens=30, max_tokens=200,
+                            max_punct_ratio=0.05, langs=["en"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+    )
+
+
+def _filtered_oracle() -> str:
+    from emailcdc.ops.textstats import _STOPWORDS
+    score_cols = []
+    for lang, ws in _STOPWORDS.items():
+        lits = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(f"len(list_intersect(toks, [{lits}])) AS s_{lang}")
+    langs = list(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT text, {_DUCK_TOKS} AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         length(regexp_replace(text, '[^\\.\\!\\?\\,\\;\\:]', '', 'g'))
+           * 1.0 / greatest(length(text), 1) AS praw
+  FROM documents
+),
+s AS (SELECT n_tok, praw, {', '.join(score_cols)} FROM t)
+SELECT count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM s
+WHERE n_tok >= 30 AND n_tok <= 200 AND praw <= 0.05
+  AND ({case}) IN ('en')
+"""
+
+
 def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import langid
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -1395,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": _token_stats_documents,
         "quality_documents": _quality_documents,
         "bpe_token_stats": _bpe_token_stats,
+        "filtered_documents": _filtered_documents,
         "langid_documents": _langid_documents,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dups": _minhash_near_dups,
@@ -1446,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         # sha256 is the shared Spark/DuckDB hash primitive, so the hash-built
         # ops are fully re-derivable in SQL (see _DUCK_HASH60)
         "bpe_token_stats": _bpe_oracle(),
+        "filtered_documents": _filtered_oracle(),
         "langid_documents": _langid_oracle(),
         "fingerprint_documents": _FINGERPRINT_SQL,
         "minhash_near_dups": _MINHASH_SQL,

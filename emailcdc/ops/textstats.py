@@ -133,3 +133,25 @@ def normalize_text(col) -> Column:
     mirrored by lower/regexp_replace/trim in the DuckDB oracle."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def filter_documents(df: DataFrame, text_col: str = "text", *,
+                     min_tokens: int = 0, max_tokens: int | None = None,
+                     max_punct_ratio: float | None = None,
+                     min_quality: float | None = None,
+                     langs: list[str] | None = None) -> DataFrame:
+    """Composable corpus filter — the standard pre-training hygiene pass
+    (length window, punctuation cap, quality floor, language allowlist)
+    as ONE Catalyst predicate: every condition lands in the same scan
+    filter, so at 100 TB this is a single pushdown-friendly pass with no
+    shuffle and no UDF."""
+    cond = token_count(text_col) >= F.lit(min_tokens)
+    if max_tokens is not None:
+        cond = cond & (token_count(text_col) <= F.lit(max_tokens))
+    if max_punct_ratio is not None:
+        cond = cond & (punct_ratio(text_col) <= F.lit(max_punct_ratio))
+    if min_quality is not None:
+        cond = cond & (quality_score(text_col) >= F.lit(min_quality))
+    if langs is not None:
+        cond = cond & langid(text_col).isin(list(langs))
+    return df.filter(cond)

@@ -64,6 +64,11 @@ def _parser() -> argparse.ArgumentParser:
     sh.add_argument("--sink", required=True)
     sh.add_argument("--table", default="snapshot")
     sh.add_argument("--n", type=int, default=10)
+
+    vc = sub.add_parser("vacuum", help="remove data dirs not referenced by "
+                                       "the current manifest (crash orphans, "
+                                       "superseded snapshots)")
+    vc.add_argument("--sink", required=True)
     return p
 
 
@@ -107,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
         sink = SnapshotParquetSink(spark, args.sink, n_buckets=args.n_buckets)
         manifest = sink.compact_now(sink.current_snapshot_id() + 1)
         print(f"compacted to snapshot {manifest.snapshot_id}")
+    elif args.cmd == "vacuum":
+        sink = SnapshotParquetSink(spark, args.sink)
+        removed = sink.vacuum()
+        print(f"removed {removed} unreferenced data dirs")
     elif args.cmd == "show":
         sink = SnapshotParquetSink(spark, args.sink)
         engine = CdcEngine(spark, sink)

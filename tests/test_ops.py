@@ -394,3 +394,21 @@ class TestIvfTraining:
             return len(got & exact) / len(exact)
 
         assert recall(cents) >= recall(None)  # trained never worse here
+
+
+class TestFilterDocuments:
+    def test_composed_predicates(self, spark):
+        rows = [
+            (0, "short"),                                      # too few tokens
+            (1, " ".join(["the word ok fine good"] * 8)),       # passes (40 toks, en)
+            (2, " ".join(["el la de que y en un por"] * 6)),    # spanish → filtered by langs
+            (3, "!!! ... ;;; " + " ".join(["the a of"] * 12)),  # punct-heavy
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {r["doc_id"] for r in textstats.filter_documents(
+            df, min_tokens=10, max_punct_ratio=0.05, langs=["en"]).collect()}
+        assert kept == {1}
+
+    def test_no_constraints_keeps_all(self, spark):
+        df = spark.createDataFrame([(0, "a"), (1, "")], "doc_id long, text string")
+        assert textstats.filter_documents(df).count() == 2

@@ -234,3 +234,27 @@ class TestLzfuRtf:
         from emailcdc.pst import PstError, decompress_rtf
         with pytest.raises(PstError):
             decompress_rtf(b"short")
+
+
+class TestPstErrorRouting:
+    """R2 — a corrupt PST event dead-letters instead of crashing the batch."""
+
+    def test_corrupt_pst_routed_to_failures(self):
+        import base64
+        # valid magic, garbage structure → PstError → failure row
+        bogus = b"!BDN" + b"\x00" * 600
+        b64 = base64.b64encode(bogus).decode("ascii")
+        out = extract_event("r", "bad.pst", 5, "c", "pst", b64)
+        assert out["messages"] == []
+        assert len(out["failures"]) == 1
+        assert out["failures"][0]["event_offset"] == 5
+
+    def test_ansi_pst_rejected_loudly(self):
+        import base64, struct
+        # wVer 15 (ANSI) → explicit unsupported error, not silence
+        hdr = bytearray(b"!BDN" + b"\x00" * 600)
+        struct.pack_into("<H", hdr, 10, 15)
+        out = extract_event("r", "ansi.pst", 6, "c", "pst",
+                            base64.b64encode(bytes(hdr)).decode("ascii"))
+        assert len(out["failures"]) == 1
+        assert "ANSI" in out["failures"][0]["error"]
