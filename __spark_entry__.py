@@ -589,6 +589,46 @@ ORDER BY user_id, session_idx
 """
 
 
+def _order_gaps_and_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function breadth: lag (days since the customer's previous
+    order), first_value (their first order date), and ntile quartiles by
+    price — one shuffle on o_custkey shared by all three windows."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                 "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(w)).alias("gap_days"),
+            F.datediff(
+                F.col("o_orderdate"),
+                F.first_value("o_orderdate").over(w)).alias("days_since_first"),
+            F.ntile(4).over(wq).alias("price_quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INT) AS gap_days,
+       CAST(date_diff('day',
+            first_value(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INT) AS days_since_first,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def _asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (no native Spark op — union+window formulation in
     ops/asof.py): each event picks the user's latest order at-or-before
@@ -1426,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
+        "order_gaps_quartiles": _order_gaps_and_quartiles,
         "asof_latest_order": _asof_latest_order,
         "windowed_event_counts": _windowed_event_counts,
         # training-data ops
@@ -1475,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
+        "order_gaps_quartiles": _GAPS_SQL,
         "asof_latest_order": _ASOF_SQL,
         "windowed_event_counts": _WINDOWED_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
