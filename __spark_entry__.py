@@ -1264,6 +1264,40 @@ def _eml_oracle_values() -> str:
     )
 
 
+def _eml_header_map_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-function coverage over the messages' headers column:
+    map_keys/size + element_at lookups (the E3 header HashMap analog)."""
+    outs = _extract_outputs(spark)
+    return outs["messages"].filter(F.col("path").endswith(".eml")).select(
+        "path",
+        F.size(F.map_keys("headers")).alias("n_headers"),
+        F.element_at("headers", "Subject").alias("subject_header"),
+        F.element_at("headers", "From").alias("from_header"),
+    ).orderBy("path")
+
+
+def _eml_header_oracle() -> str:
+    from emailcdc.extract import parse_eml
+    from emailcdc.fixtures import make_eml
+    rows = []
+    for i in range(5):
+        m = parse_eml(make_eml(i))
+
+        def esc(v):
+            return (v or "").replace("'", "''")
+
+        subj = m["headers"].get("Subject")
+        frm = m["headers"].get("From")
+        rows.append(
+            f"('m/e{i}.eml', {len(m['headers'])}, "
+            + (f"'{esc(subj)}'" if subj is not None else "NULL") + ", "
+            + (f"'{esc(frm)}'" if frm is not None else "NULL") + ")"
+        )
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) +
+            ") AS t(path, n_headers, subject_header, from_header)"
+            " ORDER BY path")
+
+
 def _mbox_message_counts(spark: SparkSession, sf: str) -> DataFrame:
     outs = _extract_outputs(spark)
     return (
@@ -1489,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         # email payload + CDC engine
         "eml_message_stats": _eml_message_stats,
+        "eml_header_map_stats": _eml_header_map_stats,
         "mbox_message_counts": _mbox_message_counts,
         "ics_calendar_entries": _ics_calendar_entries,
         "pst_message_stats": _pst_message_stats,
@@ -1540,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_oracle_values(),
         # fixture/engine queries: VALUES oracles from the pure-Python path
         "eml_message_stats": _eml_oracle_values(),
+        "eml_header_map_stats": _eml_header_oracle(),
         "mbox_message_counts": _MBOX_ORACLE,
         "ics_calendar_entries": _ics_oracle_values(),
         "pst_message_stats": _pst_oracle_values(),
