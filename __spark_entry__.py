@@ -57,21 +57,27 @@ def entry(spark: SparkSession) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _dsum(col, scale: int = 2):
-    """Deterministic rounded sum of a double expression: quantize each value
-    to decimal(18,6) (exact integer arithmetic from there), round, and
-    return double.  Plain round(sum(double), 2) is order-dependent in the
-    last ulp, so a value landing on a half-cent boundary can round
-    differently between runs/plans — this showed up as a run-dependent hash
-    mismatch on user_sessions in round 1."""
-    return F.round(F.sum(col.cast("decimal(18,6)")), scale).cast("double")
+def _dsum_cents(col):
+    """Exact money sum as integer cents (bigint): quantize each value to
+    decimal(18,6) (exact integer arithmetic from there), round half-up to
+    2 dp, scale by 100.  Plain round(sum(double), 2) is order-dependent in
+    the last ulp (round-1 user_sessions flake); emitting the rounded
+    decimal *as a double* still leaves a decimal→double conversion on the
+    hash surface, and Spark (Java BigDecimal.doubleValue, correctly
+    rounded) vs DuckDB (scaled-int × float multiply) can disagree by one
+    ulp there — the round-2 user_sessions driver mismatch.  Integers end
+    the class: both engines hash the same bigint."""
+    return (F.round(F.sum(col.cast("decimal(18,6)")), 2) * 100).cast("long")
 
 
-def _davg(col, scale: int = 6):
-    """Deterministic rounded mean: exact decimal sum → double → / count."""
-    return F.round(
-        F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
-        scale)
+def _davg_micro(sql_col: str):
+    """Deterministic integer mean in micro-units (bigint): exact decimal
+    sum scaled to 1e-6 units, then truncating integral division (Spark
+    ``div`` == DuckDB ``//`` for non-negative ints) — no doubles anywhere
+    on the hash surface."""
+    return F.expr(
+        f"CAST(sum(CAST({sql_col} AS DECIMAL(18,6)))*1000000 AS BIGINT)"
+        f" div count(1)")
 
 
 # --------------------------------------------------------------------------
@@ -84,26 +90,28 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            _davg(F.col("l_quantity")).alias("avg_qty"),
-            _davg(F.col("l_discount")).alias("avg_disc"),
+            _dsum_cents(F.col("l_quantity")).alias("sum_qty_cents"),
+            _dsum_cents(F.col("l_extendedprice")).alias("sum_base_price_cents"),
+            _dsum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price_cents"),
+            _davg_micro("l_quantity").alias("avg_qty_micro"),
+            _davg_micro("l_discount").alias("avg_disc_micro"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-# DEC/AVG6: DuckDB mirrors of _dsum/_davg — quantize to decimal(18,6),
-# exact sum, deterministic rounding (see _dsum docstring)
+# CENTS/MICRO: DuckDB mirrors of _dsum_cents/_davg_micro — quantize to
+# decimal(18,6), exact sum, integer cents / truncated micro mean (see
+# _dsum_cents docstring: integers keep decimal→double conversion off the
+# hash surface entirely)
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)*100 AS BIGINT)      AS sum_qty_cents,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))*1000000 AS BIGINT) // count(*) AS avg_qty_micro,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,6)))*1000000 AS BIGINT) // count(*) AS avg_disc_micro,
        count(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -122,22 +130,22 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
               orders.o_custkey == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < "1998-03-15")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"))
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(_dsum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
         .limit(10)
     )
 
 
 _Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
 LIMIT 10
 """
 
@@ -157,8 +165,8 @@ def _q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(dims, cust.c_nationkey == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"),
+        .agg(_dsum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue_cents"),
              F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy("r_name", "n_name")
     )
@@ -166,7 +174,7 @@ def _q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT r_name, n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -227,8 +235,8 @@ def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             _dsum(F.col("value")).alias("total_value"),
-             _davg(F.col("value")).alias("avg_value"),
+             _dsum_cents(F.col("value")).alias("total_value_cents"),
+             _davg_micro("value").alias("avg_value_micro"),
              F.count_distinct(F.col("user_id")).alias("n_users"))
         .orderBy("event_type")
     )
@@ -236,8 +244,8 @@ def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 _EVENTS_SQL = """
 SELECT event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))*1000000 AS BIGINT) // count(*) AS avg_value_micro,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -298,14 +306,14 @@ def _q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
         li.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .groupBy()
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-                     .cast("double") / 7.0, 2).alias("avg_yearly"),
+        .agg(F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))*1000000"
+                    " AS BIGINT) div 7").alias("avg_yearly_micro"),
              F.count(F.lit(1)).alias("n_rows"))
     )
 
 
 _Q17_SQL = """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))*1000000 AS BIGINT) // 7 AS avg_yearly_micro, count(*) AS n_rows
 FROM (
   SELECT l_extendedprice, l_quantity,
          avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
@@ -371,8 +379,8 @@ def _q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-             .alias("revenue"),
+        .agg(_dsum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue_cents"),
              F.count(F.lit(1)).alias("n_items"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -380,7 +388,7 @@ def _q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -424,11 +432,14 @@ def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy(F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_9",
-                             F.col("volume")).otherwise(F.lit(0).cast("decimal(18,6)")))
-                .cast("double")
-                / F.sum("volume").cast("double"), 6).alias("mkt_share"),
+            # parts-per-million share as exact integer arithmetic:
+            # (num_micro × 1e6) div den_micro — both engines truncate
+            F.expr(
+                "CAST((CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9'"
+                " THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END)*1000000"
+                " AS BIGINT) AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(sum(volume)*1000000 AS BIGINT) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("l_year")
@@ -437,9 +448,10 @@ def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT l_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)*1000000 AS BIGINT)
+                 AS HUGEINT) * 1000000
+            // CAST(sum(volume)*1000000 AS BIGINT) AS BIGINT) AS mkt_share_ppm,
        count(*) AS n_items
 FROM (
   SELECT year(l_shipdate) AS l_year, n_name AS supp_nation,
@@ -466,17 +478,17 @@ def _rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
               .join(dims, cust.c_nationkey == F.col("n_nationkey")))
     return (
         joined.rollup("r_name", "n_name")
-        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+        .agg(_dsum_cents(F.col("o_totalprice")).alias("revenue_cents"))
         .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
                 F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-                "revenue")
+                "revenue_cents")
         .orderBy("region", "nation")
     )
 
 
 _ROLLUP_SQL = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -518,7 +530,7 @@ def _monthly_event_stats(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
                    .alias("month"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             _dsum(F.col("value")).alias("total_value"))
+             _dsum_cents(F.col("value")).alias("total_value_cents"))
         .orderBy("month", "event_type")
     )
 
@@ -526,7 +538,7 @@ def _monthly_event_stats(spark: SparkSession, sf: str) -> DataFrame:
 _MONTHLY_SQL = """
 SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
        count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2 ORDER BY month, event_type
 """
 
@@ -561,11 +573,17 @@ def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.sessions import sessionize
     ev = spark.read.parquet(f"{sf}/events.parquet")
     s = sessionize(ev, gap_minutes=30)
+    # hash integer cents, not doubles: total_value is round(sum(dec),2) as
+    # double, i.e. within one ulp of the exact 2-dp decimal, so the
+    # decimal(18,2) re-cast (Java shortest-repr parse) recovers it exactly;
+    # ×100 → bigint removes decimal→double conversion from the hash surface
+    # (the r1/r2 driver mismatch class — see _dsum_cents)
     return s.select(
         "user_id", "session_idx", "n_events",
         F.col("start_ts").cast("timestamp").cast("long").alias("start_s"),
         F.col("end_ts").cast("timestamp").cast("long").alias("end_s"),
-        "total_value",
+        (F.col("total_value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("total_cents"),
     ).orderBy("user_id", "session_idx")
 
 
@@ -573,7 +591,7 @@ _SESSIONS_SQL = """
 SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_cents
 FROM (
   SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS session_idx
@@ -672,14 +690,17 @@ def _windowed_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return windowed_counts(ev, window="10 minutes").select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
-        "event_type", "n", "total_value",
+        "event_type", "n",
+        # integer cents on the hash surface — see _user_sessions
+        (F.col("total_value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("total_value_cents"),
     ).orderBy("w_start", "event_type")
 
 
 _WINDOWED_SQL = """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_start,
        event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 """
 

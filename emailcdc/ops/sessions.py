@@ -62,7 +62,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             # decimal sum: double addition is order-dependent in the last
             # ulp, so round(sum(double), 2) can flip on a half-cent boundary
             # between runs/plans; quantizing each value to decimal(18,6)
-            # first makes the sum exact and the rounding deterministic
+            # first makes the sum exact and the rounding deterministic.
+            # NOTE: the final decimal→double cast is still engine-specific
+            # in its last ulp (Java correctly-rounded vs e.g. DuckDB's
+            # scaled-int float multiply) — anything that HASHES this column
+            # across engines must compare integer cents instead (the
+            # contract query re-casts to decimal(18,2)*100 → bigint)
             F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
             .cast("double").alias("total_value"),
         )
