@@ -19,7 +19,9 @@ a salt derived from ``offset`` so one giant repo spreads over
 dropped — the MERGE stays key-correct because bucketing is on (repo, path).
 
 At 10^10-event scale nothing here is driver-bound: per-batch collects are
-O(#hot repos + #touched buckets + #op kinds), constant-size.
+O(#partitions × #op kinds + #above-threshold hot repos) — the hot-repo
+threshold is applied executor-side, so a long-tail repo distribution never
+ships its tail to the driver.
 """
 
 from __future__ import annotations
@@ -63,7 +65,7 @@ class CdcEngine:
         hot_key_fraction: float = 0.2,
         hot_key_min: int = 64,
         extract_partitions: int | None = None,
-        broadcast_key_limit: int = 1_000_000,
+        broadcast_key_limit: int | None = None,
         folder_expression: str | None = None,
     ):
         from .extract import validate_missing_field_config
@@ -79,9 +81,16 @@ class CdcEngine:
         self.extract_partitions = extract_partitions
         # past this many events per batch, the LWW semi-join and the sink's
         # compaction folds fall back from broadcast to shuffle joins — a
-        # 10^7-key broadcast built on the driver is a scale-killer
-        self.broadcast_key_limit = broadcast_key_limit
-        sink.broadcast_key_limit = broadcast_key_limit
+        # 10^7-key broadcast built on the driver is a scale-killer.
+        # None (default) adopts the sink's configured limit; an explicit
+        # value propagates to the sink so both stages agree (ADVICE r2:
+        # the old unconditional overwrite clobbered a caller-configured
+        # sink limit even when the engine arg was left at its default)
+        if broadcast_key_limit is None:
+            self.broadcast_key_limit = sink.broadcast_key_limit
+        else:
+            self.broadcast_key_limit = broadcast_key_limit
+            sink.broadcast_key_limit = broadcast_key_limit
         # FOLDER_IDENTIFIER (AbstractJavaMailProcessor.java:58-67): a Spark
         # SQL expression over event columns deriving the message folder
         self.folder_expression = folder_expression
@@ -96,18 +105,31 @@ class CdcEngine:
         manifest = self.sink.read_manifest()
         return (manifest.batch_id + 1) if manifest else 1
 
-    def last_epoch(self) -> int | None:
+    def last_epoch(self, stream_id: str | None = None) -> int | None:
         """Highest streaming epoch applied to this sink (stream-idempotence
-        watermark, independent of batch/snapshot ids)."""
+        watermark, independent of batch/snapshot ids).
+
+        Epoch ids only mean something within one checkpoint lineage: when
+        ``stream_id`` (the checkpoint's query id) differs from the one the
+        manifest recorded, the watermark belongs to ANOTHER stream and
+        returns None — a cleared checkpoint restarts epochs at 0 and must
+        not be silently skipped (ADVICE r2).  A manifest with no recorded
+        stream_id keeps the legacy global-watermark behavior."""
         manifest = self.sink.read_manifest()
-        return manifest.last_epoch if manifest else None
+        if manifest is None:
+            return None
+        if (stream_id is not None and manifest.stream_id is not None
+                and manifest.stream_id != stream_id):
+            return None
+        return manifest.last_epoch
 
     # --- one micro-batch --------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int,
                     offset_lo: int | None = None,
                     offset_hi: int | None = None,
-                    epoch: int | None = None) -> BatchResult:
+                    epoch: int | None = None,
+                    stream_id: str | None = None) -> BatchResult:
         timing = os.environ.get("EMAILCDC_TIMING") == "1"
         t_last = [time.time()]
 
@@ -122,12 +144,12 @@ class CdcEngine:
         if current is not None and batch_id <= current:
             return BatchResult(batch_id, offset_lo, offset_hi, 0, 0, 0, skipped=True)
 
-        # ONE raw-batch stats job (reads only offset/op/repo — Parquet scan
-        # prunes content): per-partition lineage rows (north rule), event
-        # count, op totals, and per-repo counts for hot-key detection.
+        # Raw-batch stats job (reads only offset/op — Parquet scan prunes
+        # content): per-partition lineage rows (north rule), event count,
+        # op totals.  Driver receives O(#partitions × #op kinds) rows —
+        # constant-size regardless of key cardinality.
         stat_rows = (
-            batch.groupBy(F.spark_partition_id().alias("partition_id"),
-                          "op", "repo")
+            batch.groupBy(F.spark_partition_id().alias("partition_id"), "op")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.min("offset").alias("min_offset"),
@@ -137,7 +159,6 @@ class CdcEngine:
         )
         event_count = sum(r["rows"] for r in stat_rows)
         per_partition: dict[int, list] = {}
-        per_repo: dict[str, int] = {}
         op_totals: dict[str, int] = {}
         for r in stat_rows:
             pid = int(r["partition_id"])
@@ -145,7 +166,6 @@ class CdcEngine:
             agg[0] += r["rows"]
             agg[1] = r["min_offset"] if agg[1] is None else min(agg[1], r["min_offset"])
             agg[2] = r["max_offset"] if agg[2] is None else max(agg[2], r["max_offset"])
-            per_repo[r["repo"]] = per_repo.get(r["repo"], 0) + r["rows"]
             op_totals[r["op"]] = op_totals.get(r["op"], 0) + r["rows"]
         lineage_rows = [
             {"batch_id": batch_id, "partition_id": pid, "rows": agg[0],
@@ -158,6 +178,23 @@ class CdcEngine:
             offset_lo = min((a[1] for a in per_partition.values()), default=0)
         if offset_hi is None:
             offset_hi = max((a[2] for a in per_partition.values()), default=-1)
+        # Hot-repo detection: threshold the per-repo counts EXECUTOR-side so
+        # the driver receives only repos ABOVE the threshold — the previous
+        # groupBy(partition_id, op, repo).collect() shipped O(#distinct
+        # repos-in-batch × partitions) rows, millions at 10^7-event batches
+        # over a long-tail repo distribution (VERDICT r2).  Skipped outright
+        # when no repo can clear the threshold.
+        hot_threshold = max(self.hot_key_min, int(event_count * self.hot_key_fraction))
+        if event_count > hot_threshold:
+            hot_repos = [
+                r["repo"]
+                for r in batch.groupBy("repo")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > hot_threshold)
+                .collect()
+            ]
+        else:
+            hot_repos = []
         _mark("stats")
 
         # LWW dedup: last event per key inside the batch wins.  Instead of
@@ -181,8 +218,6 @@ class CdcEngine:
             upserts = winners.filter(F.col("op") != "D")
 
             # --- skew: hot repos get an offset-derived salt for the parse ------
-            hot_threshold = max(self.hot_key_min, int(event_count * self.hot_key_fraction))
-            hot_repos = [repo for repo, c in per_repo.items() if c > hot_threshold]
             # Parse-stage partitioning: the no-shuffle path inherits the
             # scan partitioning (session sets files.maxPartitionBytes low
             # enough for full parallelism — python parse cost per byte is
@@ -262,6 +297,7 @@ class CdcEngine:
                     *KEY, F.lit(batch_id).cast("long").alias("_seq"),
                     (F.col("op") == "D").alias("is_delete")),
                 epoch=epoch,
+                stream_id=stream_id,
                 approx_batch_keys=event_count,
             )
             _mark("commit")

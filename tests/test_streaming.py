@@ -95,6 +95,33 @@ class TestStreaming:
         run_stream(engine, stream_events(spark, src), ckpt).awaitTermination(180)
         assert engine.table("messages").count() == before
 
+    def test_cleared_checkpoint_starts_fresh_namespace(self, spark, tmp_path):
+        """ADVICE r2: a restart with a FRESH/cleared checkpoint dir restarts
+        epoch ids at 0.  The watermark is namespaced by the checkpoint's
+        query id, so those epochs must be applied (at-least-once across
+        checkpoint lineages), not silently dropped against the old
+        lineage's last_epoch — that was permanent data loss."""
+        src = str(tmp_path / "events")
+        sink_dir = str(tmp_path / "sink")
+        half = len(EVENTS) // 2
+        _write_chunk(spark, EVENTS[:half], src)
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, sink_dir, n_buckets=8))
+        run_stream(engine, stream_events(spark, src),
+                   str(tmp_path / "ckpt1")).awaitTermination(180)
+        assert engine.last_epoch() == 0
+        assert engine.sink.read_manifest().stream_id is not None
+        # checkpoint is LOST; second tranche arrives; new query re-reads
+        # everything from epoch 0 — the old global watermark dropped it all
+        _write_chunk(spark, EVENTS[half:], src)
+        run_stream(engine, stream_events(spark, src),
+                   str(tmp_path / "ckpt2")).awaitTermination(180)
+        assert _snap_keys(engine) == set(EXPECTED)
+        # same (second) checkpoint restarts stay exactly-once
+        before = engine.table("messages").count()
+        run_stream(engine, stream_events(spark, src),
+                   str(tmp_path / "ckpt2")).awaitTermination(180)
+        assert engine.table("messages").count() == before
+
     def test_compaction_preserves_last_epoch(self, spark, tmp_path):
         src = str(tmp_path / "events")
         ckpt = str(tmp_path / "ckpt")
