@@ -6,16 +6,19 @@ field mapping :169-230, attachment emission :236-258).  No PST library
 ships in this sandbox, so this module implements the subset of the public
 MS-PST format (MS-PST open specification) that the reference exercises:
 
-- NDB layer: Unicode (wVer ≥ 23) header, NBT/NBT block B-trees, data-tree
+- NDB layer: Unicode (wVer ≥ 23) AND ANSI (wVer 14/15) headers — the ANSI
+  variant is the same structure with 32-bit BIDs/IBs and shifted page/
+  trailer offsets (MS-PST §2.2.2) — NBT/BBT block B-trees, data-tree
   blocks (XBLOCK/XXBLOCK), subnode B-trees (SLBLOCK/SIBLOCK), and the
-  ``NDB_CRYPT_PERMUTE`` byte-permutation cipher (MS-PST §5.1).
+  ``NDB_CRYPT_PERMUTE`` byte-permutation cipher (MS-PST §5.1).  The LTP
+  and messaging layers above the NDB are format-independent.
 - LTP layer: heap-on-node (HN), BTree-on-heap (BTH), property contexts
   (PC) and table contexts (TC).
 - Messaging layer: folder hierarchy/contents tables, message properties,
   recipient tables, attachment tables + attachment data.
 
 Scope notes (documented limits, all raise loudly):
-- ANSI PSTs (wVer 14/15) and CRYPT_CYCLIC (method 2) are rejected.
+- CRYPT_CYCLIC (bCryptMethod 2) is rejected.
 - RTF bodies decompress via ``decompress_rtf`` (MS-OXRTFCP LZFu — the
   golden archive carries none, so the decoder is pinned by constructed
   round-trip tests against the spec's initial dictionary).
@@ -150,7 +153,9 @@ NID_TYPE_CONTENTS = 0x0E
 NID_RECIPIENT_TABLE = 0x0692
 NID_ATTACHMENT_TABLE = 0x0671
 
-_MAX_BLOCK_DATA = 8192 - 16  # Unicode block buffer minus BLOCKTRAILER
+# block buffer minus BLOCKTRAILER: 16-byte trailer (Unicode) / 12 (ANSI)
+_MAX_BLOCK_DATA_UNICODE = 8192 - 16
+_MAX_BLOCK_DATA_ANSI = 8192 - 12
 
 
 @dataclass
@@ -182,29 +187,49 @@ class PstMessage:
 
 
 class PstFile:
-    """Parse an in-memory Unicode PST image.
+    """Parse an in-memory PST image (Unicode wVer ≥ 23 or ANSI wVer 14/15).
 
     PSTs arrive as one change event's binary content; per-archive sizes are
     bounded by the source (mail archives, not the corpus), so in-memory
     parsing inside an Arrow-batched UDF is the right scale shape — the
     PARALLELISM is across archives, not within one.
+
+    java-libpst reads both formats transparently (ExtractPSTFile.java:118
+    ``new PSTFile(...)``); the ANSI NDB differences are purely structural:
+    32-bit BIDs/IBs, 12-byte block trailers, and shifted header/page
+    offsets (MS-PST §2.2.2).  Everything from the heap-on-node up is
+    format-independent.
     """
 
     def __init__(self, data: bytes):
         if data[:4] != b"!BDN":
             raise PstError("not a PST file (bad magic)")
         wVer, = struct.unpack_from("<H", data, 10)
-        if wVer < 23:
-            raise PstError(f"ANSI PST (wVer={wVer}) not supported — Unicode only")
+        if wVer in (14, 15):
+            self._ansi = True
+        elif wVer >= 23:
+            self._ansi = False
+        else:
+            raise PstError(f"unknown PST wVer={wVer}")
         self._raw = data
-        crypt = data[0x201]
+        self._max_block = (_MAX_BLOCK_DATA_ANSI if self._ansi
+                           else _MAX_BLOCK_DATA_UNICODE)
+        # ANSI header: ROOT at 164 (BREFs of 4-byte bid/ib at +20),
+        # bCryptMethod at 0x1CD; Unicode: ROOT at 180 (8-byte BREFs at
+        # +36), bCryptMethod at 0x201 (MS-PST §2.2.2.6)
+        crypt = data[0x1CD] if self._ansi else data[0x201]
         if crypt == 0:
             self._dec = None
         elif crypt == 1:
             self._dec = _PERMUTE_DEC
         else:
             raise PstError(f"unsupported bCryptMethod {crypt} (CRYPT_CYCLIC)")
-        bid_nbt, ib_nbt, bid_bbt, ib_bbt = struct.unpack_from("<QQQQ", data, 216)
+        if self._ansi:
+            _bid_nbt, ib_nbt, _bid_bbt, ib_bbt = struct.unpack_from(
+                "<IIII", data, 184)
+        else:
+            _bid_nbt, ib_nbt, _bid_bbt, ib_bbt = struct.unpack_from(
+                "<QQQQ", data, 216)
         self._nbt: dict[int, tuple[int, int]] = {}   # nid -> (bidData, bidSub)
         self._bbt: dict[int, tuple[int, int]] = {}   # bid -> (ib, cb)
         self._read_btree(ib_nbt)
@@ -213,25 +238,44 @@ class PstFile:
     # ---- NDB layer -----------------------------------------------------------
 
     def _read_btree(self, ib_root: int) -> None:
+        # BTPAGE layout (MS-PST §2.2.2.7.7.1): metadata (cEnt cMax cbEnt
+        # cLevel) at 488 + trailer ptype at 496 (Unicode) / metadata at 496
+        # + trailer ptype at 500 (ANSI)
+        meta_off, ptype_off = (496, 500) if self._ansi else (488, 496)
         stack = [ib_root]
         while stack:
             ib = stack.pop()
             page = self._raw[ib:ib + 512]
             if len(page) < 512:
                 raise PstError("truncated btree page")
-            cEnt, _cMax, cbEnt, cLevel = struct.unpack_from("<BBBB", page, 488)
-            ptype = page[496]
+            cEnt, _cMax, cbEnt, cLevel = struct.unpack_from(
+                "<BBBB", page, meta_off)
+            ptype = page[ptype_off]
             for i in range(cEnt):
                 off = i * cbEnt
                 if cLevel > 0:
-                    _key, _bid, child_ib = struct.unpack_from("<QQQ", page, off)
+                    if self._ansi:  # BTENTRY: btkey(4) BREF(bid 4, ib 4)
+                        _key, _bid, child_ib = struct.unpack_from(
+                            "<III", page, off)
+                    else:
+                        _key, _bid, child_ib = struct.unpack_from(
+                            "<QQQ", page, off)
                     stack.append(child_ib)
                 elif ptype == 0x81:  # NBT leaf
-                    nid, bid_data, bid_sub, _parent = struct.unpack_from(
-                        "<QQQI", page, off)
+                    if self._ansi:  # nid(4) bidData(4) bidSub(4) parent(4)
+                        nid, bid_data, bid_sub, _parent = struct.unpack_from(
+                            "<IIII", page, off)
+                    else:
+                        nid, bid_data, bid_sub, _parent = struct.unpack_from(
+                            "<QQQI", page, off)
                     self._nbt[nid & 0xFFFFFFFF] = (bid_data, bid_sub)
                 else:  # 0x80 BBT leaf
-                    bid, ib2, cb, _cref = struct.unpack_from("<QQHH", page, off)
+                    if self._ansi:  # BREF(bid 4, ib 4) cb(2) cRef(2)
+                        bid, ib2, cb, _cref = struct.unpack_from(
+                            "<IIHH", page, off)
+                    else:
+                        bid, ib2, cb, _cref = struct.unpack_from(
+                            "<QQHH", page, off)
                     self._bbt[bid] = (ib2, cb)
 
     def _block(self, bid: int) -> bytes:
@@ -256,13 +300,22 @@ class PstFile:
         btype, cLevel, cEnt = struct.unpack_from("<BBH", meta, 0)
         if btype != 1:
             raise PstError(f"expected XBLOCK, got btype {btype}")
-        bids = struct.unpack_from(f"<{cEnt}Q", meta, 8)
+        # rgbid follows lcbTotal(4) at offset 8; 4-byte bids in ANSI
+        bids = struct.unpack_from(
+            f"<{cEnt}I" if self._ansi else f"<{cEnt}Q", meta, 8)
         out: list[bytes] = []
         for b in bids:
             if cLevel == 1:
-                out.append(self._block(b) if not (b & 2) else b"")
-                if b & 2:  # nested tree under an XBLOCK entry
-                    out.extend(self._data_blocks(b))
+                # XBLOCK (cLevel 1) entries MUST be leaf data blocks
+                # (MS-PST §2.2.2.8.3.2.1: rgbid is an array of data-block
+                # BIDs); an internal bid here is malformed input — raise
+                # loudly rather than emit a placeholder that would shift
+                # heap block indices (hid >> 16) and silently corrupt
+                # heap-on-node addressing (ADVICE r2)
+                if b & 2:
+                    raise PstError(
+                        f"internal bid {b} inside a cLevel-1 XBLOCK")
+                out.append(self._block(b))
             else:  # XXBLOCK → XBLOCKs
                 out.extend(self._data_blocks(b))
         return out
@@ -276,14 +329,24 @@ class PstFile:
         btype, cLevel, cEnt = struct.unpack_from("<BBH", meta, 0)
         if btype != 2:
             raise PstError(f"expected SLBLOCK, got btype {btype}")
-        if cLevel == 0:  # SLENTRY: nid(8) bidData(8) bidSub(8)
-            for i in range(cEnt):
-                nid, bd, bs = struct.unpack_from("<QQQ", meta, 8 + i * 24)
-                out[nid & 0xFFFFFFFF] = (bd, bs)
-        else:  # SIENTRY: nid(8) bid(8) → child SLBLOCKs
-            for i in range(cEnt):
-                _nid, b = struct.unpack_from("<QQ", meta, 8 + i * 16)
-                out.update(self._subnodes(b))
+        if cLevel == 0:
+            if self._ansi:  # SLENTRY ANSI: nid(4) bidData(4) bidSub(4)
+                for i in range(cEnt):
+                    nid, bd, bs = struct.unpack_from("<III", meta, 4 + i * 12)
+                    out[nid & 0xFFFFFFFF] = (bd, bs)
+            else:  # SLENTRY: nid(8) bidData(8) bidSub(8)
+                for i in range(cEnt):
+                    nid, bd, bs = struct.unpack_from("<QQQ", meta, 8 + i * 24)
+                    out[nid & 0xFFFFFFFF] = (bd, bs)
+        else:
+            if self._ansi:  # SIENTRY ANSI: nid(4) bid(4)
+                for i in range(cEnt):
+                    _nid, b = struct.unpack_from("<II", meta, 4 + i * 8)
+                    out.update(self._subnodes(b))
+            else:  # SIENTRY: nid(8) bid(8) → child SLBLOCKs
+                for i in range(cEnt):
+                    _nid, b = struct.unpack_from("<QQ", meta, 8 + i * 16)
+                    out.update(self._subnodes(b))
         return out
 
     # ---- LTP layer ------------------------------------------------------------
@@ -449,7 +512,7 @@ class PstFile:
                 blocks = self._data_blocks(subs[hnid_rows][0])
             else:
                 raise PstError("TC row matrix subnode missing")
-            per = _MAX_BLOCK_DATA // cb_row
+            per = self._max_block // cb_row
             blk = blocks[idx // per]
             off = (idx % per) * cb_row
             return blk[off:off + cb_row]
