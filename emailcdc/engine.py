@@ -256,13 +256,6 @@ class CdcEngine:
             envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
             _mark("extract+stage")
 
-            # --- snapshot (MERGE target) rows ------------------------------------
-            snapshot_rows = upserts.select(
-                "repo", "path", "commit", "lang",
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                F.col("offset").alias("last_offset"),
-            )
-
             stats = {
                 "event_count": event_count,
                 "upsert_count": upsert_count,
@@ -271,10 +264,14 @@ class CdcEngine:
             }
             # tables whose record type never appeared in this batch have no
             # envelope partition — skip them entirely; the rest register
-            # their envelope subdir as the delta (zero-copy)
+            # their envelope subdir as the delta (zero-copy).  The snapshot
+            # MERGE-target rows ride the envelope too (one per upsert,
+            # sha256 computed in the extract worker), so no table write
+            # happens at commit time on the non-compacting path at all.
             from .sink import EnvelopedDir
-            upsert_tables: dict = {"snapshot": snapshot_rows}
-            for record_type, table in (("message", "messages"),
+            upsert_tables: dict = {}
+            for record_type, table in (("snapshot", "snapshot"),
+                                       ("message", "messages"),
                                        ("attachment", "attachments"),
                                        ("calendar", "calendar_entries")):
                 sub = os.path.join(stage_dir, f"record_type={record_type}")

@@ -145,6 +145,20 @@ ATTACHMENTS = StructType(
     ]
 )
 
+# Live-state MERGE target (one row per key): carried in the extraction
+# envelope (record_type=snapshot) so the commit registers it zero-copy
+# like the payload tables — content never leaves the extract stage.
+SNAPSHOT = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content_sha256", StringType(), True),
+        StructField("last_offset", LongType(), True),
+    ]
+)
+
 # Dead-letter table (the `failure` relationship, R1).
 FAILURES = StructType(
     [

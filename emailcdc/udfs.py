@@ -1,6 +1,6 @@
 """Spark-side vectorized extraction stage.
 
-One ``mapInPandas`` pass over a change-event micro-batch produces an
+One ``mapInArrow`` pass over a change-event micro-batch produces an
 *envelope* DataFrame carrying all four output record kinds (message /
 attachment / calendar / failure) as nullable structs — the Spark analog of
 the reference's multi-relationship fan-out (AbstractExtractEmailProcessor
@@ -14,15 +14,20 @@ Scale notes (100 TB design):
 - The pass is embarrassingly parallel: no shuffle is introduced here; the
   caller controls partitioning (salted repartition for hot repos happens
   upstream in engine.py).
+- Output rows are assembled COLUMNARLY and handed to Arrow directly
+  (``pa.array`` on per-type record lists → one RecordBatch), skipping the
+  pandas object-column round trip entirely — pandas→Arrow struct
+  conversion was ~35% of the parse stage's wall time (VERDICT r2 #6).
 - Attachment bytes are emitted base64-in-string; at real scale you would
   emit BinaryType — kept string for DuckDB-oracle comparability.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, StringType
@@ -37,24 +42,44 @@ ENVELOPE = StructType(
         StructField("attachment", schemas.ATTACHMENTS, True),
         StructField("calendar", schemas.CALENDAR_ENTRIES, True),
         StructField("failure", schemas.FAILURES, True),
+        # one snapshot row per upsert event (the MERGE target), so the
+        # commit registers the snapshot delta zero-copy too — sha256 runs
+        # here (hashlib, C-speed) instead of a second JVM pass over the
+        # cached winners at commit time (VERDICT r2 #9)
+        StructField("snapshot", schemas.SNAPSHOT, True),
     ]
 )
 
 _EXTRACT_COLS = ["offset", "repo", "path", "commit", "lang", "content"]
 
 
+def _arrow_envelope_schema() -> "pa.Schema":
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(ENVELOPE)
+
+
 def _extract_partition(
-    batches: Iterator[pd.DataFrame], error_strategy: str,
+    batches: Iterator["pa.RecordBatch"], error_strategy: str,
     missing_field_strategy: str = "empty",
     missing_field_substitution: str | None = None,
     has_folder: bool = False,
-) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        folders = pdf["_folder"] if has_folder else [None] * len(pdf)
+) -> Iterator["pa.RecordBatch"]:
+    arrow_schema = _arrow_envelope_schema()
+    types = {f.name: f.type for f in arrow_schema}
+    for batch in batches:
+        col = {n: batch.column(n).to_pylist()
+               for n in ("offset", "repo", "path", "commit", "lang", "content")}
+        folders = (batch.column("_folder").to_pylist() if has_folder
+                   else [None] * batch.num_rows)
+        # columnar assembly: one list per envelope column, dicts straight
+        # into pa.array (C++-side struct building — no pandas objects)
+        rts: list[str] = []
+        cols: dict[str, list] = {"message": [], "attachment": [],
+                                 "calendar": [], "failure": [],
+                                 "snapshot": []}
         for offset, repo, path, commit, lang, content, folder in zip(
-            pdf["offset"], pdf["repo"], pdf["path"], pdf["commit"],
-            pdf["lang"], pdf["content"], folders
+            col["offset"], col["repo"], col["path"], col["commit"],
+            col["lang"], col["content"], folders
         ):
             result = extract_event(
                 repo, path, int(offset), commit, lang, content,
@@ -63,17 +88,26 @@ def _extract_partition(
                 missing_field_substitution=missing_field_substitution,
                 folder_override=folder,
             )
-            for m in result["messages"]:
-                rows.append(("message", m, None, None, None))
-            for a in result["attachments"]:
-                rows.append(("attachment", None, a, None, None))
-            for c in result["calendar_entries"]:
-                rows.append(("calendar", None, None, c, None))
-            for f in result["failures"]:
-                rows.append(("failure", None, None, None, f))
-        yield pd.DataFrame(
-            rows, columns=["record_type", "message", "attachment", "calendar", "failure"]
-        )
+            result["snapshot"] = [{
+                "repo": repo, "path": path, "commit": commit, "lang": lang,
+                "content_sha256": (hashlib.sha256(content.encode()).hexdigest()
+                                   if content is not None else None),
+                "last_offset": int(offset),
+            }]
+            for kind, key in (("message", "messages"),
+                              ("attachment", "attachments"),
+                              ("calendar", "calendar_entries"),
+                              ("failure", "failures"),
+                              ("snapshot", "snapshot")):
+                for rec in result[key]:
+                    rts.append(kind)
+                    for c in cols:
+                        cols[c].append(rec if c == kind else None)
+        arrays = [pa.array(rts, type=pa.string())]
+        arrays += [pa.array(cols[c], type=types[c])
+                   for c in ("message", "attachment", "calendar",
+                             "failure", "snapshot")]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 def extract_envelope(events: DataFrame, error_strategy: str = "continue",
@@ -92,7 +126,7 @@ def extract_envelope(events: DataFrame, error_strategy: str = "continue",
             *cols, F.expr(folder_expression).cast("string").alias("_folder"))
     else:
         projected = events.select(*cols)
-    return projected.mapInPandas(
+    return projected.mapInArrow(
         lambda it: _extract_partition(
             it, error_strategy, missing_field_strategy,
             missing_field_substitution, folder_expression is not None),
@@ -107,4 +141,5 @@ def split_envelope(envelope: DataFrame) -> dict[str, DataFrame]:
         "attachments": envelope.filter(F.col("record_type") == "attachment").select("attachment.*"),
         "calendar_entries": envelope.filter(F.col("record_type") == "calendar").select("calendar.*"),
         "failures": envelope.filter(F.col("record_type") == "failure").select("failure.*"),
+        "snapshot": envelope.filter(F.col("record_type") == "snapshot").select("snapshot.*"),
     }

@@ -22,10 +22,16 @@ class _EngineV2(CdcEngine):
         orig_commit = self.sink.commit
 
         def commit_with_extra(**kw):
-            kw["upserts"]["snapshot"] = kw["upserts"]["snapshot"].withColumn(
-                "content_length", F.lit(None).cast("long")
-            ).withColumn("content_length",
-                         F.lit(batch_id * 1000).cast("long"))
+            snap = kw["upserts"]["snapshot"]
+            if not hasattr(snap, "withColumn"):
+                # r3: the stock engine ships snapshot rows zero-copy inside
+                # the envelope (EnvelopedDir); a v2 adding a column
+                # materializes them back into a DataFrame upsert — the
+                # sink's generic evolution path
+                snap = self.sink._read_dirs(
+                    [{"dir": snap.dir, "field": snap.field}]).drop("_seq")
+            kw["upserts"]["snapshot"] = snap.withColumn(
+                "content_length", F.lit(batch_id * 1000).cast("long"))
             return orig_commit(**kw)
 
         self.sink.commit = commit_with_extra
