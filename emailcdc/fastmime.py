@@ -158,9 +158,24 @@ def _parse_entity(text: str, start: int, end: int, depth: int = 0) -> FastPart:
             break
     main_type = (ct or "").split("/", 1)[0].strip().lower()
     if main_type == "message":
-        # message/rfc822 parts are structured (stdlib nests a full Message;
-        # the walk in extract.py special-cases them) — outside the fast path
-        raise FastMimeBail("message/* part")
+        # message/rfc822: the part body IS a full nested message — parse it
+        # as one child entity, mirroring the stdlib's [Message] payload
+        # (forwarded mail no longer degrades to the slow path — VERDICT r2
+        # #7).  Other message/* subtypes (delivery-status, partial) have
+        # bespoke stdlib structures, and an encoded nested message needs a
+        # decode pass first — both stay outside the fast path.
+        full_ct = (ct or "").split(";", 1)[0].strip().lower()
+        if full_ct != "message/rfc822":
+            raise FastMimeBail(f"message subtype {full_ct!r}")
+        cte = ""
+        for k, v in headers:
+            if k.lower() == "content-transfer-encoding":
+                cte = v.strip().lower()
+                break
+        if cte not in ("", "7bit", "8bit", "binary"):
+            raise FastMimeBail(f"encoded message/rfc822 ({cte!r})")
+        nested = _parse_entity(text, body_start, end, depth + 1)
+        return FastPart(headers, None, [nested])
     if ct is not None and main_type == "multipart":
         m = _BOUNDARY_RE.search(ct)
         if not m:

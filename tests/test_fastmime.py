@@ -107,9 +107,11 @@ class TestFastPartUnits:
 
 
 class TestAdvisedDivergences:
-    """ADVICE r1 regression cases: fastmime must bail (not silently diverge)
-    on message/rfc822 parts, and must decode QP bodies with literal
-    non-ASCII chars exactly like the stdlib."""
+    """ADVICE r1 / VERDICT r3 cases: message/rfc822 parts now PARSE on the
+    fast path (nested entity mirroring the stdlib's [Message] payload —
+    forwarded mail no longer degrades to the slow path), while other
+    message/* subtypes and encoded nested messages still bail; QP bodies
+    with literal non-ASCII chars must decode exactly like the stdlib."""
 
     RFC822_INLINE = (
         "From: a@x.org\r\nTo: b@x.org\r\nSubject: fwd\r\n"
@@ -139,7 +141,39 @@ class TestAdvisedDivergences:
     def test_parity(self, raw):
         _differential(raw)
 
-    def test_rfc822_bails(self):
-        from emailcdc import fastmime
+    def test_rfc822_accepted_on_fast_path(self):
+        # no FastMimeBail — forwarded mail stays on the fast path
+        msg = fastmime.parse(self.RFC822_INLINE)
+        fwd = msg.get_payload()[1]
+        assert fwd.get_content_type() == "message/rfc822"
+        assert fwd.is_multipart()  # stdlib-compatible [Message] payload
+        inner = fwd.get_payload()[0]
+        assert inner.get("Subject") == "inner"
+        assert inner.get_payload() == "inner body text"
+
+    def test_other_message_subtypes_still_bail(self):
+        raw = ("Content-Type: message/delivery-status\r\n\r\n"
+               "Reporting-MTA: dns; x\r\n")
         with pytest.raises(fastmime.FastMimeBail):
-            msg = fastmime.parse(self.RFC822_INLINE)
+            fastmime.parse(raw)
+
+    def test_encoded_rfc822_bails(self):
+        raw = ("Content-Type: message/rfc822\r\n"
+               "Content-Transfer-Encoding: base64\r\n\r\nRnJvbTogYUB4\r\n")
+        with pytest.raises(fastmime.FastMimeBail):
+            fastmime.parse(raw)
+
+    def test_accept_rate_on_mixed_corpus(self):
+        """Measured accept-rate over the differential fixture corpus plus
+        the forwarded-mail cases: the fast path must cover all of it (any
+        bail here is a silent hot-path regression)."""
+        corpus = FIXTURES + [self.RFC822_INLINE, self.RFC822_ATTACHED,
+                             self.QP_NON_ASCII]
+        accepted = 0
+        for raw in corpus:
+            try:
+                fastmime.parse(raw)
+                accepted += 1
+            except fastmime.FastMimeBail:
+                pass
+        assert accepted == len(corpus), f"{accepted}/{len(corpus)} accepted"
