@@ -1,16 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libs are not in this container):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic hash-derived feature vector is
-produced so the Spark-side plumbing — schema, partitioning, UDF signature,
-Arrow batch shape — is real and testable end-to-end.
+Real decode is attempted behind OPTIONAL dependencies probed at runtime
+(PIL for images, soundfile for audio — neither ships in this container):
+when present, ``decode_image``/``decode_audio`` produce real features; when
+absent they raise ``NotImplementedError`` unless ``fake=True``, in which
+case a deterministic hash-derived feature vector is produced so the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and testable end-to-end either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -45,21 +48,62 @@ FEATURES = StructType(
 )
 
 
-def decode_image(data: bytes, *, fake: bool = False) -> np.ndarray:
-    """Real decode requires PIL/opencv — not shipped here."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; pass fake=True for the "
-            "deterministic stub (hash-derived pixels)")
-    return _fake_features(data, 16)
+def _pil():
+    """Optional-dependency probe: PIL when installed, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — runtime optional import
+        return Image
+    except ImportError:
+        return None
 
 
-def decode_audio(data: bytes, *, fake: bool = False) -> np.ndarray:
+def _soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+        return soundfile
+    except ImportError:
+        return None
+
+
+def decode_image(data: bytes, *, fake: bool = False,
+                 dim: int = 16) -> np.ndarray:
+    """Image bytes → feature vector.
+
+    With PIL installed: decode, convert to grayscale, resize to a √dim×√dim
+    thumbnail, normalize to [0,1) floats.  Without it: raise unless
+    ``fake=True`` (deterministic hash-derived stand-in)."""
+    img_mod = _pil()
+    if img_mod is not None and not fake:
+        side = max(int(dim ** 0.5), 1)
+        img = img_mod.open(io.BytesIO(data)).convert("L").resize((side, side))
+        arr = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        return np.resize(arr, dim).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "audio decode requires soundfile/librosa; pass fake=True for "
-            "the deterministic stub")
-    return _fake_features(data, 16)
+            "image decode requires PIL (not installed); pass fake=True for "
+            "the deterministic stub (hash-derived pixels)")
+    return _fake_features(data, dim)
+
+
+def decode_audio(data: bytes, *, fake: bool = False,
+                 dim: int = 16) -> np.ndarray:
+    """Audio bytes → feature vector (dim-bucket mean-absolute envelope via
+    soundfile when installed; deterministic stub otherwise)."""
+    sf_mod = _soundfile()
+    if sf_mod is not None and not fake:
+        samples, _rate = sf_mod.read(io.BytesIO(data), dtype="float32")
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        if len(samples) == 0:
+            return np.zeros(dim, dtype=np.float32)
+        chunks = np.array_split(np.abs(samples), dim)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                        dtype=np.float32)
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile (not installed); pass "
+            "fake=True for the deterministic stub")
+    return _fake_features(data, dim)
 
 
 def _fake_features(data: bytes, dim: int) -> np.ndarray:
