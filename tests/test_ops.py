@@ -211,11 +211,24 @@ class TestMultimodal:
         b = multimodal.extract_features(media).orderBy("media_id").collect()
         assert [r["feature"] for r in a] == [r["feature"] for r in b]
 
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_raises_without_codecs(self):
+        if multimodal._pil() is not None or multimodal._soundfile() is not None:
+            pytest.skip("codec libs installed — covered by the real-decode test")
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"xx", fake=False)
         with pytest.raises(NotImplementedError):
             multimodal.decode_audio(b"xx", fake=False)
+
+    def test_real_image_decode_with_pil(self):
+        if multimodal._pil() is None:
+            pytest.skip("PIL not installed in this environment")
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+        feat = multimodal.decode_image(buf.getvalue())
+        assert len(feat) == 16
+        assert all(0.0 <= x <= 1.0 for x in feat)
 
 
 class TestAsofJoin:
