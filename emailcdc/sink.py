@@ -402,17 +402,25 @@ class SnapshotParquetSink:
         # ---- marks write (after table data, before manifest)
         if marks is not None:
             if compacting:
-                # fold: latest live marks for keys NOT in this batch + this batch's
+                # fold: latest live marks for keys NOT in this batch + this batch's.
+                # Folded marks cover the FULL live key set — at 10^9 sink keys a
+                # fixed repartition(4) would write 4 quarter-billion-row tasks;
+                # cluster on the same bucket count as the data folds instead.
                 latest = self._latest_marks(prev) if prev else None
                 folded = marks
                 if latest is not None:
                     keep = latest.filter(~F.col("is_delete")).join(
                         self._maybe_broadcast(batch_keys), on=KEY, how="left_anti")
                     folded = keep.unionByName(marks)
-                folded.repartition(4).write.mode("overwrite").parquet(marks_dir)
+                folded.repartition(min(self.n_buckets, 32)).write \
+                    .mode("overwrite").parquet(marks_dir)
                 marks_list = [marks_dir]
             else:
-                marks.repartition(1).write.mode("overwrite").parquet(marks_dir)
+                # delta marks: one file per ~1M keys — a single partition is
+                # one straggler task (and one giant row group) at the
+                # documented 10^7-event batch size
+                n_parts = max(1, min(16, -(-(approx_batch_keys or 1) // 1_000_000)))
+                marks.repartition(n_parts).write.mode("overwrite").parquet(marks_dir)
                 marks_list = marks_list + [marks_dir]
 
         for table in APPEND_TABLES:
