@@ -704,6 +704,63 @@ SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_s
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 """
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _monthly_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivoted conditional aggregation: months × event types as a wide
+    count matrix (Spark `pivot`; the oracle expresses the same reshape as
+    FILTERed counts — integer outputs, hash-exact)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+                   .alias("month"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("month")
+    )
+
+
+_PIVOT_SQL = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       count(*) FILTER (WHERE event_type='click')    AS click,
+       count(*) FILTER (WHERE event_type='error')    AS error,
+       count(*) FILTER (WHERE event_type='purchase') AS purchase,
+       count(*) FILTER (WHERE event_type='signup')   AS signup,
+       count(*) FILTER (WHERE event_type='view')     AS view
+FROM events GROUP BY 1 ORDER BY month
+"""
+
+
+def _embedding_explode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array explode (lateral-view shape): posexplode the embedding vector
+    into (vec_id, pos, value) rows, first 8 positions.  Values emitted as
+    floor-micros bigints: float→double is exact, ×1e6 is one identical
+    IEEE op on both engines, floor is truncation toward -inf on both —
+    nothing engine-specific on the hash surface."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .select(
+            "vec_id", "pos",
+            F.floor(F.col("val").cast("double") * 1000000).cast("long")
+            .alias("val_micro"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+_EXPLODE_SQL = """
+SELECT vec_id, pos, val_micro FROM (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000) AS BIGINT) AS val_micro
+  FROM embeddings
+) WHERE pos < 8
+ORDER BY vec_id, pos
+"""
+
 
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
@@ -1524,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gaps_quartiles": _order_gaps_and_quartiles,
         "asof_latest_order": _asof_latest_order,
         "windowed_event_counts": _windowed_event_counts,
+        "monthly_type_pivot": _monthly_type_pivot,
+        "embedding_explode_stats": _embedding_explode_stats,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "decontaminate_documents": _decontaminate_documents,
@@ -1575,6 +1634,8 @@ def oracle_sql() -> dict[str, str]:
         "order_gaps_quartiles": _GAPS_SQL,
         "asof_latest_order": _ASOF_SQL,
         "windowed_event_counts": _WINDOWED_SQL,
+        "monthly_type_pivot": _PIVOT_SQL,
+        "embedding_explode_stats": _EXPLODE_SQL,
         "dedup_exact_documents": _DEDUP_SQL,
         "decontaminate_documents": _DECON_SQL,
         "normalized_dedup_documents": _NORMDEDUP_SQL,
