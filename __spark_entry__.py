@@ -1061,6 +1061,45 @@ ORDER BY id_a, id_b
 """
 
 
+def _near_dup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-cluster assignment: connected components over the MinHash
+    near-dup pairs (iterative min-label propagation with pointer jumping,
+    ops/dedup.py).  Oracle: the same EXACT-Jaccard pair list closed
+    transitively with a recursive CTE — a true semantic check of the
+    iterative algorithm, not an echo."""
+    from emailcdc.ops.dedup import connected_components, minhash_dedup
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_dedup(docs, "text", "doc_id", threshold=0.4,
+                          n_hashes=128, bands=64)
+    return (
+        connected_components(pairs)
+        .select("doc_id", F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+_CC_SQL_TEMPLATE = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({{shingles}}) AS sh FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) * 1.0
+               / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.4
+      UNION SELECT id_b, id_a FROM p WHERE j >= 0.4),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+_CC_SQL = _CC_SQL_TEMPLATE.format(shingles=_duck_shingles(5))
+
+
 def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures as FOUR SCALAR 15-bit chunk columns (an
     array<long> output crashes the driver's pandas canonicalizer —
@@ -1594,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": _langid_documents,
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dups": _minhash_near_dups,
+        "near_dup_components": _near_dup_components,
         "simhash_documents": _simhash_documents,
         "ngram_jaccard_sample": _ngram_jaccard_sample,
         "embedding_norms": _embedding_norms,
@@ -1650,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_oracle(),
         "fingerprint_documents": _FINGERPRINT_SQL,
         "minhash_near_dups": _MINHASH_SQL,
+        "near_dup_components": _CC_SQL,
         "simhash_documents": _simhash_oracle(),
         "ngram_jaccard_sample": _NGRAM_SQL,
         "ivf_ann_topk": _IVF_SQL,

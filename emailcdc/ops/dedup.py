@@ -435,3 +435,78 @@ def decontaminate_ngram(df: DataFrame, bench: DataFrame, id_col: str,
         .select("_id")
     )
     return df.join(hits.withColumnRenamed("_id", id_col), id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", *,
+                         max_iter: int = 25) -> DataFrame:
+    """Dedup-cluster assignment: connected components over a near-dup pair
+    list → ``(doc_id, component)`` with component = min doc id reachable.
+
+    The step after candidate generation in a real dedup pipeline: LSH
+    emits PAIRS, but keep-one-per-cluster needs the transitive closure
+    (a~b, b~c ⇒ keep one of {a,b,c}).
+
+    Min-label propagation with pointer jumping: each round takes the min
+    over direct neighbours' labels AND the label of the current label
+    (path halving) — O(log n) rounds on arbitrary graphs, 1-2 rounds on
+    the clique-ish components LSH buckets produce.  Each round is two
+    shuffle joins over (id, label) pairs only — no payloads ever move —
+    and convergence costs one scalar count per round (the only driver
+    value).  100 TB shape: the pair list is orders of magnitude smaller
+    than the corpus, and rounds scale with component diameter, not corpus
+    size.  (Large-star/small-star [Kiveris et al., "Connected Components
+    in MapReduce and Beyond"] is the alternative; pointer jumping needs
+    fewer joins per round at near-dup shapes.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint per round truncates the logical plan — without it the
+    # lineage references the previous labels 4× per round and the plan
+    # grows as 4^rounds (OOMs the planner by round ~6).  The standard
+    # iterative-algorithm pattern; on a cluster with lineage-resilience
+    # requirements use checkpoint() with a reliable dir instead.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.select(F.col("id").alias("dst"), "comp"),
+                           "dst")
+                .groupBy("src").agg(F.min("comp").alias("_nmin"))
+                .withColumnRenamed("src", "id")
+            )
+            stepped = (
+                labels.join(nbr, "id", "left")
+                .select("id", F.least(
+                    "comp", F.coalesce("_nmin", F.col("comp"))).alias("comp"))
+            )
+            # pointer jumping: also adopt the label of the current label
+            lut = labels.select(F.col("id").alias("comp"),
+                                F.col("comp").alias("_ccomp"))
+            new = (
+                stepped.join(lut, "comp", "left")
+                .select("id", F.least(
+                    "comp", F.coalesce("_ccomp", F.col("comp"))).alias("comp"))
+                .localCheckpoint()
+            )
+            changed = (
+                labels.select("id", F.col("comp").alias("_old"))
+                .join(new, "id")
+                .filter(F.col("_old") != F.col("comp"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"), "comp")
+    finally:
+        edges.unpersist()

@@ -425,3 +425,36 @@ class TestFilterDocuments:
     def test_no_constraints_keeps_all(self, spark):
         df = spark.createDataFrame([(0, "a"), (1, "")], "doc_id long, text string")
         assert textstats.filter_documents(df).count() == 2
+
+
+class TestConnectedComponents:
+    """Dedup-cluster assignment (iterative min-label + pointer jumping)."""
+
+    def test_path_and_isolated_pairs(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long")
+        got = {r["doc_id"]: r["comp"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        # a 40-node path needs pointer jumping to converge in O(log n)
+        # rounds — max_iter=25 would NOT suffice for naive propagation
+        # with one hop per round if the chain were longer, but must
+        # easily cover 40 with halving
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+        rows = dedup.connected_components(pairs).collect()
+        assert {r["comp"] for r in rows} == {0}
+        assert len(rows) == 41
+
+    def test_reversed_pair_order_same_components(self, spark):
+        a = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+        b = spark.createDataFrame([(9, 5), (7, 9)], "id_a long, id_b long")
+        ra = sorted((r["doc_id"], r["comp"])
+                    for r in dedup.connected_components(a).collect())
+        rb = sorted((r["doc_id"], r["comp"])
+                    for r in dedup.connected_components(b).collect())
+        assert ra == rb == [(5, 5), (7, 5), (9, 5)]
