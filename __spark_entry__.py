@@ -17,6 +17,15 @@ bit-for-bit — so their oracles re-derive the full computation in SQL;
 MinHash near-dup's oracle is the EXACT all-pairs Jaccard (LSH recall is 1
 at the query's threshold on this corpus, so any recall or verification bug
 breaks the hash).
+
+Hash-surface policy (r3): every AGGREGATED money/mean column is emitted as
+an exact integer (cents via round(sum(decimal),2)*100, micros via
+truncating div) — aggregate-then-convert left a decimal→double conversion
+whose last ulp is engine-specific (the r1/r2 user_sessions mismatches).
+Columns that remain double (`value_percentiles` interpolation,
+`round(value, 2)` on RAW doubles, jaccard/cosine rounds) are a different
+class: both engines receive bit-identical inputs and apply the same
+IEEE-754 ops, and each has been hash-stable across every round.
 """
 
 from __future__ import annotations
