@@ -1070,6 +1070,33 @@ ORDER BY id_a, id_b
 """
 
 
+def _top_terms_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 salient terms (TF-IDF-shaped, integer-only ordering
+    — ops/textstats.top_terms)."""
+    from emailcdc.ops.textstats import top_terms
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return top_terms(docs, "text", "doc_id", k=3).orderBy("doc_id", "rnk")
+
+
+_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
 def _near_dup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup-cluster assignment: connected components over the MinHash
     near-dup pairs (iterative min-label propagation with pointer jumping,
@@ -1643,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_components": _near_dup_components,
+        "top_terms_per_doc": _top_terms_per_doc,
         "simhash_documents": _simhash_documents,
         "ngram_jaccard_sample": _ngram_jaccard_sample,
         "embedding_norms": _embedding_norms,
@@ -1700,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_components": _CC_SQL,
+        "top_terms_per_doc": _TOP_TERMS_SQL,
         "simhash_documents": _simhash_oracle(),
         "ngram_jaccard_sample": _NGRAM_SQL,
         "ivf_ann_topk": _IVF_SQL,

@@ -155,3 +155,37 @@ def filter_documents(df: DataFrame, text_col: str = "text", *,
     if langs is not None:
         cond = cond & langid(text_col).isin(list(langs))
     return df.filter(cond)
+
+
+def top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+              k: int = 3):
+    """Per-document top-k salient terms, TF-IDF-shaped but with a fully
+    INTEGER ordering — (term frequency desc, document frequency asc, term
+    asc) — so the result is bit-identical across engines (a real tf·idf
+    score needs ln(), whose last ulp is libm-specific and would sit on the
+    hash surface).
+
+    100 TB shape: tokens explode inside the scan stage; tf is one shuffle
+    on (doc, term); df is one shuffle on term.  The df side is the
+    VOCABULARY (not the corpus) but still grows past broadcast size on a
+    web-scale corpus, so the tf⋈df join is left to AQE rather than
+    force-broadcast."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                    r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tf", "df")
+    )

@@ -458,3 +458,21 @@ class TestConnectedComponents:
         rb = sorted((r["doc_id"], r["comp"])
                     for r in dedup.connected_components(b).collect())
         assert ra == rb == [(5, 5), (7, 5), (9, 5)]
+
+
+class TestTopTerms:
+    def test_integer_ordering_and_ties(self, spark):
+        rows = [
+            (0, "apple apple banana cherry"),
+            (1, "banana banana banana apple"),
+            (2, "cherry unique"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["df"])
+               for r in textstats.top_terms(df, k=2).collect()}
+        # doc 0: apple tf=2 first; banana vs cherry tie on tf=1 → lower
+        # df wins; banana df=2, cherry df=2 → term asc → banana
+        assert got[(0, 1)] == ("apple", 2, 2)
+        assert got[(0, 2)] == ("banana", 1, 2)
+        assert got[(1, 1)] == ("banana", 3, 2)
+        assert got[(2, 2)] == ("unique", 1, 1)
