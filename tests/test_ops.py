@@ -475,4 +475,6 @@ class TestTopTerms:
         assert got[(0, 1)] == ("apple", 2, 2)
         assert got[(0, 2)] == ("banana", 1, 2)
         assert got[(1, 1)] == ("banana", 3, 2)
-        assert got[(2, 2)] == ("unique", 1, 1)
+        # doc 2: tf tie → unique (df=1) outranks cherry (df=2)
+        assert got[(2, 1)] == ("unique", 1, 1)
+        assert got[(2, 2)] == ("cherry", 1, 2)
