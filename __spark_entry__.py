@@ -1102,7 +1102,10 @@ def _near_dup_components(spark: SparkSession, sf: str) -> DataFrame:
     near-dup pairs (iterative min-label propagation with pointer jumping,
     ops/dedup.py).  Oracle: the same EXACT-Jaccard pair list closed
     transitively with a recursive CTE — a true semantic check of the
-    iterative algorithm, not an echo."""
+    iterative algorithm, not an echo.  NOTE the oracle is deliberately
+    quadratic (all-pairs Jaccard + transitive closure): exact and fast at
+    the sf0.01 correctness gate, minutes at sf0.1+ — the Spark side stays
+    banded/iterative at every scale."""
     from emailcdc.ops.dedup import connected_components, minhash_dedup
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     pairs = minhash_dedup(docs, "text", "doc_id", threshold=0.4,
