@@ -1047,7 +1047,13 @@ def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return (
         minhash_dedup(docs, "text", "doc_id", threshold=0.4,
                       n_hashes=128, bands=64)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b",
+                # floor-micro, not round-to-6dp: both engines hold the SAME
+                # double (ratio of identical ints), and x*1e6 + floor are
+                # single identical IEEE ops — round() differs in METHOD
+                # (exact-decimal half-up vs multiply-based) at boundaries
+                F.floor(F.col("jaccard") * 1000000).cast("long")
+                .alias("jaccard_micro"))
         .orderBy("id_a", "id_b")
     )
 
@@ -1065,7 +1071,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.sh, b.sh)) * 1.0
                / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) AS j
       FROM s a JOIN s b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.4
+SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS jaccard_micro FROM p WHERE j >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -1186,7 +1192,9 @@ def _ngram_jaccard_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         ngram_jaccard(docs, "text", "doc_id", pairs, shingle_n=3)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b",
+                F.floor(F.col("jaccard") * 1000000).cast("long")
+                .alias("jaccard_micro"))
         .orderBy("id_a", "id_b")
     )
 
@@ -1195,8 +1203,9 @@ _NGRAM_SQL = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, list_distinct({_duck_shingles(3)}) AS sh FROM t)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh)) * 1.0
-         / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+       CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
+         / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+         * 1000000) AS BIGINT) AS jaccard_micro
 FROM s a JOIN s b ON a.doc_id < 20 AND b.doc_id >= 20 AND b.doc_id < 40
 ORDER BY id_a, id_b
 """
