@@ -201,21 +201,34 @@ class CdcEngine:
         # a window over the full rows — which shuffles the (multi-KB)
         # content column — compute the winning offsets from the metadata
         # columns only (groupBy key → max(offset): parquet scan prunes
-        # content) and semi-join the batch on offset.  The content column
-        # never shuffles; winners materialize straight off the scan into
-        # the cache.  Broadcast only while the key set is driver-sized:
-        # event_count bounds the winner count, so past broadcast_key_limit
-        # the semi-join runs as a shuffle join instead (VERDICT r1 —
-        # a 10^7-row broadcast at the documented 10^7-event batch size
-        # would OOM the driver / blow the broadcast limit).
-        win_offs = batch.groupBy(*KEY).agg(F.max("offset").alias("offset"))
-        win_side = win_offs.select("offset")
-        if event_count <= self.broadcast_key_limit:
-            win_side = F.broadcast(win_side)
-        winners = batch.join(win_side, on="offset", how="leftsemi").persist()
+        # content) and semi-join the batch on offset.  Broadcast only
+        # while the key set is driver-sized: event_count bounds the winner
+        # count, so past broadcast_key_limit the semi-join runs as a
+        # shuffle join instead (VERDICT r1 — a 10^7-row broadcast at the
+        # documented 10^7-event batch size would OOM the driver).
+        #
+        # Only the OFFSETS are cached (8 bytes/row).  The winners' content
+        # is consumed exactly once — by the extraction pipeline — straight
+        # off the parquet scan; the marks journal needs metadata columns
+        # only.  The previous winners.persist() serialized the entire
+        # multi-KB batch payload into executor memory to serve that single
+        # read — at the documented 10^7-event batches that is tens of GB
+        # of cache per batch for zero reuse.
+        win_offs = (batch.groupBy(*KEY).agg(F.max("offset").alias("offset"))
+                    .select("offset").persist())
+        win_side = (F.broadcast(win_offs)
+                    if event_count <= self.broadcast_key_limit else win_offs)
         try:
-            deletes = winners.filter(F.col("op") == "D").select(*KEY)
-            upserts = winners.filter(F.col("op") != "D")
+            upserts = (batch.join(win_side, on="offset", how="leftsemi")
+                       .filter(F.col("op") != "D"))
+            # one winning event per key → its op decides the delete mark;
+            # content-pruned scan (offset/repo/path/op only)
+            winner_marks = (
+                batch.select("offset", *KEY, "op")
+                .join(win_side, on="offset", how="leftsemi")
+                .select(*KEY, F.lit(batch_id).cast("long").alias("_seq"),
+                        (F.col("op") == "D").alias("is_delete"))
+            )
 
             # --- skew: hot repos get an offset-derived salt for the parse ------
             # Parse-stage partitioning: the no-shuffle path inherits the
@@ -288,11 +301,9 @@ class CdcEngine:
                          if os.path.isdir(fail_sub) else {}),
                 append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,
-                # winners are already one-row-per-key: hand the sink its
-                # marks directly (no extra distinct/join jobs)
-                marks=winners.select(
-                    *KEY, F.lit(batch_id).cast("long").alias("_seq"),
-                    (F.col("op") == "D").alias("is_delete")),
+                # winner marks are already one-row-per-key, derived from a
+                # content-pruned scan (no extra distinct/join jobs)
+                marks=winner_marks,
                 epoch=epoch,
                 stream_id=stream_id,
                 approx_batch_keys=event_count,
@@ -305,7 +316,7 @@ class CdcEngine:
             # a failed commit leaves the envelope dir as an orphan — it is
             # permanent data once the manifest references it, so cleanup
             # belongs to vacuum(), not to this code path
-            winners.unpersist()
+            win_offs.unpersist()
 
     # --- full replay --------------------------------------------------------------
 
