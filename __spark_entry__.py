@@ -656,6 +656,37 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def _order_price_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-rank breadth: percent_rank and cume_dist over order price
+    within each priority class.  Both are ratios of identical integers
+    ((rank-1)/(n-1), peers/n) — a single IEEE division on each engine, so
+    the doubles are bit-identical and hash-safe without rounding."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    return (
+        orders.filter(F.col("o_orderkey") % 100 == 0)  # deterministic sample
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.percent_rank().over(w).alias("price_pct_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist()   OVER w AS price_cume_dist
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
 def _asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (no native Spark op — union+window formulation in
     ops/asof.py): each event picks the user's latest order at-or-before
@@ -1666,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
         "order_gaps_quartiles": _order_gaps_and_quartiles,
+        "order_price_ranks": _order_price_ranks,
         "asof_latest_order": _asof_latest_order,
         "windowed_event_counts": _windowed_event_counts,
         "monthly_type_pivot": _monthly_type_pivot,
@@ -1721,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
         "order_gaps_quartiles": _GAPS_SQL,
+        "order_price_ranks": _RANKS_SQL,
         "asof_latest_order": _ASOF_SQL,
         "windowed_event_counts": _WINDOWED_SQL,
         "monthly_type_pivot": _PIVOT_SQL,
