@@ -507,6 +507,42 @@ ORDER BY region, nation
 """
 
 
+def _cube_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (market segment, order priority) with GROUPING()
+    indicators — completes the OLAP reshape family next to ROLLUP and
+    PIVOT; all-integer outputs."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    joined = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                         orders.o_custkey == F.col("c_custkey"))
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum_cents(F.col("o_totalprice")).alias("revenue_cents"),
+             F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+             F.grouping("o_orderpriority").cast("int").alias("g_pri"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_seg", "g_pri", "n", "revenue_cents",
+        )
+        .orderBy("g_seg", "g_pri", "segment", "priority")
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(c_mktsegment) AS INT)    AS g_seg,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY g_seg, g_pri, segment, priority
+"""
+
+
 def _semi_anti_customers(spark: SparkSession, sf: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf}/customer.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet")
@@ -1692,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
         "rollup_revenue": _rollup_revenue,
+        "cube_order_counts": _cube_order_counts,
         "semi_anti_customers": _semi_anti_customers,
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
@@ -1748,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "rollup_revenue": _ROLLUP_SQL,
+        "cube_order_counts": _CUBE_SQL,
         "semi_anti_customers": _SEMI_ANTI_SQL,
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
