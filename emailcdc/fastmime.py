@@ -24,6 +24,7 @@ import re
 __all__ = ["FastMimeBail", "FastPart", "parse"]
 
 _HDR_RE = re.compile(r"^([\x21-\x39\x3b-\x7e]+):[ \t]?(.*)$")
+_BARE_CR_RE = re.compile(r"\r(?!\n)")
 _CHARSET_RE = re.compile(r'charset="?([A-Za-z0-9_.:+-]+)"?', re.IGNORECASE)
 _BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.IGNORECASE)
 
@@ -235,4 +236,10 @@ def parse(raw: str) -> FastPart:
     """Parse a full message; raises FastMimeBail outside the fast path."""
     if "\x00" in raw:
         raise FastMimeBail("NUL in input")
+    if _BARE_CR_RE.search(raw):
+        # the stdlib (like JavaMail, AbstractJavaMailProcessor.java:134-190)
+        # treats a bare CR as a line terminator; this scanner only splits on
+        # LF, so any lone '\r' would be swallowed into a header value or body
+        # ('0:\r0' counterexample, VERDICT r3 #1) — refuse and fall back
+        raise FastMimeBail("bare CR line terminator")
     return _parse_entity(raw, 0, len(raw))

@@ -59,19 +59,25 @@ class TestDifferential:
             "From: a@b.c\nSubject: lf only\n\nplain lf body\n",
             # folded subject header
             "From: a@b.c\r\nSubject: part one\r\n  part two\r\n\r\nbody\r\n",
+            # bare-CR line terminator (VERDICT r3 #1): stdlib splits on the
+            # lone '\r' (header '0' with empty value, body '0'); the fast
+            # path must bail rather than swallow the CR into the value
+            "0:\r0",
+            "From: a@b.c\rSubject: bare cr\r\rbody\r",
+            "From: a@b.c\r\nSubject: trailing cr\r\n\r\nbody\r",
         ]
         for raw in cases:
             _differential(raw)
 
     @given(st.integers(0, 2**31 - 1), st.integers(0, 3), st.integers(0, 3),
            st.booleans())
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60, deadline=None, derandomize=True)
     def test_generated_parity(self, seq, n_img, n_att, multipart):
         _differential(make_eml(seq % 5000, n_inline_images=n_img,
                                n_attachments=n_att, multipart=multipart))
 
     @given(st.text(max_size=300))
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200, deadline=None, derandomize=True)
     def test_arbitrary_text_parity_or_bail(self, raw):
         # for arbitrary garbage: either fastmime bails (fallback → equal by
         # construction) or its output must match the stdlib path
