@@ -89,6 +89,38 @@ def _davg_micro(sql_col: str):
         f" div count(1)")
 
 
+def _vsum_micros(sql_col: str):
+    """Positive-DOUBLE money sum as integer micros: quantize each row with
+    ONE identical IEEE op on both engines — floor(v*1e6 + 0.5), a double
+    multiply + double add + floor, bit-identical under IEEE 754 — then sum
+    BIGINTs.  Unlike the decimal path (_dsum_cents), NO double→decimal
+    cast exists anywhere: DuckDB's CAST(double AS DECIMAL) starts from a
+    double with implementation-defined last-ulp rounding, the r1-r3
+    user_sessions mismatch class (VERDICT r3 #2/#4)."""
+    return F.expr(f"sum(floor({sql_col} * 1000000.0D + 0.5D))")
+
+
+def _vsum_cents(sql_col: str):
+    """_vsum_micros scaled to integer cents by integral division (values
+    are non-negative so Spark `div` == DuckDB `//`)."""
+    return F.expr(f"sum(floor({sql_col} * 1000000.0D + 0.5D)) div 10000")
+
+
+def _vavg_micro(sql_col: str):
+    """Truncated integer mean in micro-units from the floor-micro sum."""
+    return F.expr(
+        f"sum(floor({sql_col} * 1000000.0D + 0.5D)) div count(1)")
+
+
+# DuckDB mirrors (sum(BIGINT) is HUGEINT there — re-cast before dividing)
+def _duck_vsum_micros(col: str) -> str:
+    return f"CAST(sum(CAST(floor({col} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+
+
+def _duck_vsum_cents(col: str) -> str:
+    return _duck_vsum_micros(col) + " // 10000"
+
+
 # --------------------------------------------------------------------------
 # relational core (TPC-H-ish, DuckDB-oracled)
 # --------------------------------------------------------------------------
@@ -244,17 +276,17 @@ def _events_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             _dsum_cents(F.col("value")).alias("total_value_cents"),
-             _davg_micro("value").alias("avg_value_micro"),
+             _vsum_cents("value").alias("total_value_cents"),
+             _vavg_micro("value").alias("avg_value_micro"),
              F.count_distinct(F.col("user_id")).alias("n_users"))
         .orderBy("event_type")
     )
 
 
-_EVENTS_SQL = """
+_EVENTS_SQL = f"""
 SELECT event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents,
-       CAST(sum(CAST(value AS DECIMAL(18,6)))*1000000 AS BIGINT) // count(*) AS avg_value_micro,
+       {_duck_vsum_cents('value')} AS total_value_cents,
+       {_duck_vsum_micros('value')} // count(*) AS avg_value_micro,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -268,13 +300,18 @@ def _lww_last_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        # per-row integer cents, one identical IEEE op on both engines —
+        # round(double, 2) rounds half-cases differently per engine
+        # (VERDICT r3 #4 latent class)
+        .select("user_id", "event_id", "event_type",
+                F.expr("floor(value * 100.0D + 0.5D)").alias("value_cents"))
         .orderBy("user_id")
     )
 
 
 _LWW_SQL = """
-SELECT user_id, event_id, event_type, round(value, 2) AS value
+SELECT user_id, event_id, event_type,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
@@ -575,15 +612,15 @@ def _monthly_event_stats(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
                    .alias("month"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             _dsum_cents(F.col("value")).alias("total_value_cents"))
+             _vsum_cents("value").alias("total_value_cents"))
         .orderBy("month", "event_type")
     )
 
 
-_MONTHLY_SQL = """
+_MONTHLY_SQL = f"""
 SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
        count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents
+       {_duck_vsum_cents('value')} AS total_value_cents
 FROM events GROUP BY 1, 2 ORDER BY month, event_type
 """
 
@@ -618,31 +655,34 @@ def _user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.sessions import sessionize
     ev = spark.read.parquet(f"{sf}/events.parquet")
     s = sessionize(ev, gap_minutes=30)
-    # hash integer cents, not doubles: total_value is round(sum(dec),2) as
-    # double, i.e. within one ulp of the exact 2-dp decimal, so the
-    # decimal(18,2) re-cast (Java shortest-repr parse) recovers it exactly;
-    # ×100 → bigint removes decimal→double conversion from the hash surface
-    # (the r1/r2 driver mismatch class — see _dsum_cents)
+    # integer-pure hash surface end to end (VERDICT r3 #2): session times
+    # as epoch seconds (both engines floor-divide integer micros), money as
+    # sessionize's per-row floor-micro BIGINT sum scaled to cents by
+    # integral division — no double or decimal survives into the output
     return s.select(
         "user_id", "session_idx", "n_events",
         F.col("start_ts").cast("timestamp").cast("long").alias("start_s"),
         F.col("end_ts").cast("timestamp").cast("long").alias("end_s"),
-        (F.col("total_value").cast("decimal(18,2)") * 100).cast("long")
-        .alias("total_cents"),
+        F.expr("total_micros div 10000").alias("total_cents"),
     ).orderBy("user_id", "session_idx")
 
 
-_SESSIONS_SQL = """
+# oracle is integer-pure too: DuckDB epoch() returns DOUBLE, so times are
+# derived as epoch_us(ts) // 1000000 (BIGINT floor-div, = Spark's
+# timestamp→long cast), and money is the identical per-row
+# floor(v*1e6+0.5) micro quantization summed as BIGINT (VERDICT r3 #2)
+_SESSIONS_SQL = f"""
 SELECT user_id, session_idx, count(*) AS n_events,
-       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
-       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_cents
+       min(epoch_us(ts)) // 1000000 AS start_s,
+       max(epoch_us(ts)) // 1000000 AS end_s,
+       {_duck_vsum_cents('value')} AS total_cents
 FROM (
   SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM (
-    SELECT *, CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
-                     (PARTITION BY user_id ORDER BY ts) > 1800
+    SELECT *, CASE WHEN epoch_us(ts) // 1000000
+                        - lag(epoch_us(ts) // 1000000) OVER
+                          (PARTITION BY user_id ORDER BY ts) > 1800
                    THEN 1 ELSE 0 END AS gap
     FROM events
   )
@@ -650,6 +690,29 @@ FROM (
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
+
+
+def _user_sessions_times(spark: SparkSession, sf: str) -> DataFrame:
+    """Diagnostic split (VERDICT r3 task 2c, remove once green): the
+    time/count columns of user_sessions without the money column."""
+    return _user_sessions(spark, sf).select(
+        "user_id", "session_idx", "n_events", "start_s", "end_s")
+
+
+def _user_sessions_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Diagnostic split (VERDICT r3 task 2c, remove once green): the money
+    column of user_sessions without the time columns."""
+    return _user_sessions(spark, sf).select(
+        "user_id", "session_idx", "total_cents")
+
+
+_SESSIONS_TIMES_SQL = (
+    "SELECT user_id, session_idx, n_events, start_s, end_s FROM ("
+    + _SESSIONS_SQL + ") ORDER BY user_id, session_idx")
+
+_SESSIONS_CENTS_SQL = (
+    "SELECT user_id, session_idx, total_cents FROM ("
+    + _SESSIONS_SQL + ") ORDER BY user_id, session_idx")
 
 
 def _order_gaps_and_quartiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -767,16 +830,16 @@ def _windowed_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     return windowed_counts(ev, window="10 minutes").select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
         "event_type", "n",
-        # integer cents on the hash surface — see _user_sessions
-        (F.col("total_value").cast("decimal(18,2)") * 100).cast("long")
-        .alias("total_value_cents"),
+        # integer cents from the per-row floor-micro BIGINT sum — no
+        # double/decimal on the hash surface (see _vsum_micros)
+        F.expr("total_micros div 10000").alias("total_value_cents"),
     ).orderBy("w_start", "event_type")
 
 
-_WINDOWED_SQL = """
+_WINDOWED_SQL = f"""
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_start,
        event_type, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS total_value_cents
+       {_duck_vsum_cents('value')} AS total_value_cents
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 """
 
@@ -1733,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
+        "user_sessions_times": _user_sessions_times,
+        "user_sessions_cents": _user_sessions_cents,
         "order_gaps_quartiles": _order_gaps_and_quartiles,
         "order_price_ranks": _order_price_ranks,
         "asof_latest_order": _asof_latest_order,
@@ -1790,6 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
+        "user_sessions_times": _SESSIONS_TIMES_SQL,
+        "user_sessions_cents": _SESSIONS_CENTS_SQL,
         "order_gaps_quartiles": _GAPS_SQL,
         "order_price_ranks": _RANKS_SQL,
         "asof_latest_order": _ASOF_SQL,

@@ -70,6 +70,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             # contract query re-casts to decimal(18,2)*100 → bigint)
             F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
             .cast("double").alias("total_value"),
+            # integer micro-units via ONE identical IEEE op per row
+            # (floor(v*1e6+0.5) — double mult, double add, floor); summing
+            # BIGINTs keeps every double/decimal conversion off any
+            # cross-engine hash surface (VERDICT r3 #2)
+            F.sum(F.expr(f"floor({value_col} * 1000000.0D + 0.5D)"))
+            .alias("total_micros"),
         )
     )
 

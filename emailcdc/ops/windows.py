@@ -30,11 +30,15 @@ def windowed_counts(events: DataFrame, *, window: str = "10 minutes",
         .agg(F.count(F.lit(1)).alias("n"),
              # decimal sum — see ops/sessions.py: deterministic rounding
              F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
-             .cast("double").alias("total_value"))
+             .cast("double").alias("total_value"),
+             # per-row floor-micro BIGINT sum — the cross-engine hash-safe
+             # variant (see ops/sessions.py total_micros)
+             F.sum(F.expr(f"floor({value_col} * 1000000.0D + 0.5D)"))
+             .alias("total_micros"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            group_col, "n", "total_value",
+            group_col, "n", "total_value", "total_micros",
         )
     )
 
