@@ -113,13 +113,16 @@ class CdcEngine:
         ``stream_id`` (the checkpoint's query id) differs from the one the
         manifest recorded, the watermark belongs to ANOTHER stream and
         returns None — a cleared checkpoint restarts epochs at 0 and must
-        not be silently skipped (ADVICE r2).  A manifest with no recorded
-        stream_id keeps the legacy global-watermark behavior."""
+        not be silently skipped (ADVICE r2).  A manifest that predates the
+        stream_id field is likewise UNOWNED for a stream-aware caller: its
+        legacy watermark must not drop the fresh checkpoint's epochs
+        (which restart at 0); the next commit stamps the new stream_id and
+        claims it (ADVICE r3).  Only a legacy caller (stream_id=None)
+        keeps the old global-watermark behavior."""
         manifest = self.sink.read_manifest()
         if manifest is None:
             return None
-        if (stream_id is not None and manifest.stream_id is not None
-                and manifest.stream_id != stream_id):
+        if stream_id is not None and manifest.stream_id != stream_id:
             return None
         return manifest.last_epoch
 

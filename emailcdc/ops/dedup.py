@@ -507,6 +507,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             labels = new
             if changed == 0:
                 break
+        else:
+            # an unconverged labeling is WRONG component assignments, not a
+            # degraded-quality answer — refuse to return it (ADVICE r3).
+            # max_iter rounds of min-label + pointer jumping converge for
+            # any graph of diameter < ~2^max_iter, so hitting this means
+            # either a pathological chain or a far-too-small max_iter.
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"rounds ({changed} labels still changing); raise max_iter")
         return labels.select(F.col("id").alias("doc_id"), "comp")
     finally:
         edges.unpersist()

@@ -450,6 +450,15 @@ class TestConnectedComponents:
         assert {r["comp"] for r in rows} == {0}
         assert len(rows) == 41
 
+    def test_unconverged_raises_not_silent(self, spark):
+        # ADVICE r3: exhausting max_iter without convergence must raise —
+        # a partial labeling is WRONG assignments, not a weaker answer.
+        # A 40-node path cannot settle in one round.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=1)
+
     def test_reversed_pair_order_same_components(self, spark):
         a = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
         b = spark.createDataFrame([(9, 5), (7, 9)], "id_a long, id_b long")

@@ -122,6 +122,22 @@ class TestStreaming:
                    str(tmp_path / "ckpt2")).awaitTermination(180)
         assert engine.table("messages").count() == before
 
+    def test_legacy_manifest_unowned_by_stream_aware_caller(self, spark,
+                                                            tmp_path):
+        """ADVICE r3: a manifest that predates the stream_id field (epoch
+        committed with stream_id=None) must read as UNOWNED to a caller
+        that supplies a stream_id — a fresh checkpoint restarts epochs at
+        0 and those must not be dropped against the legacy watermark."""
+        engine = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink"), n_buckets=8))
+        edf = spark.createDataFrame(EVENTS[:6], schema=schemas.CHANGE_EVENTS)
+        engine.apply_batch(edf, batch_id=1, epoch=5, stream_id=None)
+        assert engine.sink.read_manifest().stream_id is None
+        # legacy (stream-unaware) caller keeps the global watermark
+        assert engine.last_epoch() == 5
+        # stream-aware caller: legacy watermark is unowned → apply epochs
+        assert engine.last_epoch(stream_id="fresh-query-id") is None
+
     def test_compaction_preserves_last_epoch(self, spark, tmp_path):
         src = str(tmp_path / "events")
         ckpt = str(tmp_path / "ckpt")
