@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import struct
 
+from emailcdc import pst as pstmod
+
 P_DISPLAY_NAME = 0x3001
 P_SUBJECT = 0x0037
 P_BODY_PLAIN = 0x1000
@@ -122,10 +124,13 @@ def _tc_block(columns: list[tuple[int, int]],
 
 
 def build_pst(messages: list[dict], *, ansi: bool,
-              folder: str = "Inbox") -> bytes:
+              folder: str = "Inbox", crypt: int = 0) -> bytes:
     """One-folder PST with the given messages.  Each message dict:
     subject, body, sender_name, sender_email, message_id (strs),
-    recipients: [(name, email)], attachments: [(filename, bytes)]."""
+    recipients: [(name, email)], attachments: [(filename, bytes)].
+    ``crypt``: bCryptMethod — 0 none, 1 NDB_CRYPT_PERMUTE, 2
+    NDB_CRYPT_CYCLIC (leaf data blocks encrypted; internal blocks never,
+    MS-PST §2.2.2.8)."""
     blocks: list[tuple[int, bytes]] = []   # (bid, data)
     nbt: list[tuple[int, int, int]] = []   # (nid, bidData, bidSub)
     next_bid = [4]
@@ -191,6 +196,13 @@ def build_pst(messages: list[dict], *, ansi: bool,
     bbt: list[tuple[int, int, int]] = []
     blob = b""
     for bid, data in blocks:
+        if crypt and not (bid & 2):  # leaf data blocks only
+            if crypt == 1:
+                data = data.translate(pstmod._PERMUTE_ENC)
+            elif crypt == 2:  # self-inverse, keyed by low DWORD of bid
+                data = pstmod.crypt_cyclic(data, bid & 0xFFFFFFFF)
+            else:
+                raise ValueError(f"unknown crypt {crypt}")
         bbt.append((bid, data_ib + len(blob), len(data)))
         blob += data
 
@@ -218,8 +230,8 @@ def build_pst(messages: list[dict], *, ansi: bool,
     struct.pack_into("<H", hdr, 10, 15 if ansi else 23)
     if ansi:
         struct.pack_into("<IIII", hdr, 184, 0, nbt_ib, 0, bbt_ib)
-        hdr[0x1CD] = 0  # no encryption
+        hdr[0x1CD] = crypt
     else:
         struct.pack_into("<QQQQ", hdr, 216, 0, nbt_ib, 0, bbt_ib)
-        hdr[0x201] = 0
+        hdr[0x201] = crypt
     return bytes(hdr) + nbt_page + bbt_page + blob
