@@ -461,6 +461,31 @@ def _resolve_vtz(sections: dict[str, list[dict]]) -> object | None:
     return std_off  # no evaluable DST pair → fixed STANDARD offset
 
 
+def _ics_fixed_dt(value: str) -> tuple[datetime, bool] | None:
+    """strptime-free parse of the three fixed ICS shapes
+    (_ICS_DT_FORMATS) — strptime was ~13% of the ICS stage.  Returns
+    (naive datetime, utc-instant-or-date?) or None; out-of-range fields
+    raise ValueError inside datetime() exactly where strptime would."""
+    n = len(value)
+    try:
+        if n == 16 and value[8] == "T" and value[15] == "Z" \
+                and value[:8].isdigit() and value[9:15].isdigit():
+            return datetime(int(value[:4]), int(value[4:6]), int(value[6:8]),
+                            int(value[9:11]), int(value[11:13]),
+                            int(value[13:15])), True
+        if n == 15 and value[8] == "T" \
+                and value[:8].isdigit() and value[9:15].isdigit():
+            return datetime(int(value[:4]), int(value[4:6]), int(value[6:8]),
+                            int(value[9:11]), int(value[11:13]),
+                            int(value[13:15])), False
+        if n == 8 and value.isdigit():
+            return datetime(int(value[:4]), int(value[4:6]),
+                            int(value[6:8])), True
+    except ValueError:
+        return None
+    return None
+
+
 def _ics_datetime(value: str, params: dict[str, str] | None = None,
                   vtz: dict | None = None) -> datetime | None:
     """DTSTART/DTEND/CREATED value → aware UTC datetime.
@@ -479,12 +504,10 @@ def _ics_datetime(value: str, params: dict[str, str] | None = None,
     value = value.strip()
     params = params or {}
     tzid = params.get("TZID")
-    for fmt in _ICS_DT_FORMATS:
-        try:
-            dt = datetime.strptime(value, fmt)
-        except ValueError:
-            continue
-        if fmt.endswith("Z") or fmt == "%Y%m%d":
+    parsed = _ics_fixed_dt(value)
+    if parsed is not None:
+        dt, is_instant = parsed
+        if is_instant:
             return dt.replace(tzinfo=timezone.utc)
         if tzid:
             try:

@@ -24,6 +24,10 @@ def get_spark(app: str = "emailcdc", master: str | None = None,
         # scan per byte, so feed it many partitions (default 128m would
         # pack a whole micro-batch into a handful of tasks)
         .config("spark.sql.files.maxPartitionBytes", "4m")
+        # zstd halves the envelope/sink parquet bytes vs the snappy
+        # default (47→25MB per 150k-event batch measured) at equal write
+        # wall — less tmpfs RAM locally, less I/O + network at real scale
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
