@@ -843,6 +843,69 @@ SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS w_s
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
 """
 
+def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured/JSON surface: events.props is a JSON string; parse
+    JVM-side (get_json_object — no Python), aggregate the extracted field
+    as integers.  At 100 TB the parse stays inside the scan stage
+    (pure Catalyst expression, codegen'd)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("k_sum"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"),
+             F.count_distinct(F.col("k")).alias("k_distinct"))
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+       max(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+       count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _rolling_hour_user_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (beyond the default ROWS frames elsewhere): per
+    event, the count and integer-micro value sum of the SAME USER's
+    events in the trailing hour (event-time range, inclusive).  One
+    shuffle on user_id; the frame is evaluated inside the window
+    operator, no self-join."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts_s")
+         .rangeBetween(-3600, 0))
+    return (
+        ev.select("event_id", "user_id", sec.alias("ts_s"),
+                  F.expr("floor(value * 1000000.0D + 0.5D)").alias("_vm"))
+        .select(
+            "event_id", "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+            F.sum("_vm").over(w).alias("micros_trailing_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_hour,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+           AS micros_trailing_hour
+FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1833,6 +1896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_ranks": _order_price_ranks,
         "asof_latest_order": _asof_latest_order,
         "windowed_event_counts": _windowed_event_counts,
+        "json_props_stats": _json_props_stats,
+        "rolling_hour_user_stats": _rolling_hour_user_stats,
         "monthly_type_pivot": _monthly_type_pivot,
         "embedding_explode_stats": _embedding_explode_stats,
         # training-data ops
@@ -1893,6 +1958,8 @@ def oracle_sql() -> dict[str, str]:
         "order_price_ranks": _RANKS_SQL,
         "asof_latest_order": _ASOF_SQL,
         "windowed_event_counts": _WINDOWED_SQL,
+        "json_props_stats": _JSON_PROPS_SQL,
+        "rolling_hour_user_stats": _ROLLING_SQL,
         "monthly_type_pivot": _PIVOT_SQL,
         "embedding_explode_stats": _EXPLODE_SQL,
         "dedup_exact_documents": _DEDUP_SQL,

@@ -28,6 +28,8 @@ def get_spark(app: str = "emailcdc", master: str | None = None,
         # default (47→25MB per 150k-event batch measured) at equal write
         # wall — less tmpfs RAM locally, less I/O + network at real scale
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("EMAILCDC_ARROW_BATCH", "10000"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
