@@ -343,6 +343,110 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q6 shape: pure filter-aggregate with THREE range predicates
+    that must all reach the parquet reader (shipdate window, discount
+    band, quantity cap) — the canonical pushdown probe."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.expr(
+            "CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))"
+            "*1000000 AS BIGINT)").alias("revenue_micro"),
+            F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))*1000000 AS BIGINT) AS revenue_micro,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q19 shape: lineitem⋈part with a DISJUNCTION of conjunctive
+    brand/size/quantity bands — probes OR-predicate handling (common
+    factors pushed to both scans, the join stays a broadcast hash on
+    partkey, the residual disjunction evaluated post-join in codegen)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf}/part.parquet")
+    j = li.join(F.broadcast(pt),
+                F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.expr("CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS "
+               "DECIMAL(18,6)))*1000000 AS BIGINT)").alias("revenue_micro"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))*1000000 AS BIGINT) AS revenue_micro,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q22_idle_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H q22 shape: customers whose balance exceeds the global
+    positive-balance average (UNCORRELATED SCALAR SUBQUERY → broadcast
+    one-row build) and who have placed no URGENT orders (anti join on a
+    filtered build side — every customer has SOME order in this data),
+    grouped by market segment.  Money as integer cents."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    # integer-micro threshold: a DOUBLE average differs across engines in
+    # the last ulp and can flip membership of a balance sitting on the
+    # boundary — the floor-micro mean (truncating integral division) is
+    # bit-identical on both (see _vsum_micros)
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.expr("sum(floor(c_acctbal * 1000000.0D + 0.5D))"
+                           " div count(1)").alias("_avg_micro")))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))      # 1×1 scalar broadcast
+        .filter(F.expr("floor(c_acctbal * 1000000.0D + 0.5D)")
+                > F.col("_avg_micro"))
+        .join(orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))*100"
+                    " AS BIGINT)").alias("total_bal_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))*100 AS BIGINT) AS total_bal_cents
+FROM customer
+WHERE CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT) >
+      (SELECT CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) // count(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def _q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H q17 shape: lineitems below 20% of their part's average
     quantity — the correlated subquery expressed as a window."""
@@ -1880,7 +1984,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": _events_by_type,
         "lww_last_event_per_user": _lww_last_event_per_user,
         "address_split_customers": _address_split_customers,
+        "q6_forecast_revenue": _q6_forecast_revenue,
         "q17_small_quantity": _q17_small_quantity,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_idle_balances": _q22_idle_balances,
         "q4_order_priority": _q4_order_priority,
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
@@ -1942,7 +2049,10 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": _EVENTS_SQL,
         "lww_last_event_per_user": _LWW_SQL,
         "address_split_customers": _ADDR_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
         "q17_small_quantity": _Q17_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q22_idle_balances": _Q22_SQL,
         "q4_order_priority": _Q4_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
