@@ -116,3 +116,59 @@ def run_stream(engine: CdcEngine, events: DataFrame, checkpoint_dir: str,
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def run_stream_fanout(routes: dict, events: DataFrame, checkpoint_dir: str,
+                      *, available_now: bool = True,
+                      processing_time: str | None = None):
+    """One stream, MANY sinks — each with its own exactly-once watermark.
+
+    ``routes``: ``{name: (engine, predicate_sql | None)}``.  Every
+    micro-batch epoch is offered to every route; a route whose sink
+    already committed that epoch (under this checkpoint's stream_id)
+    skips it.  A crash BETWEEN two sinks' commits of one epoch (A
+    committed, B didn't, query died) heals on restart: Spark re-delivers
+    the unfinished epoch, A's watermark skips it, B applies it.  This is
+    per-sink idempotence on top of ONE replayable source — the same
+    composition `run_stream` uses, multiplied; no cross-sink transaction
+    is needed because each sink's manifest is its own commit log.
+
+    Scope: the heal window is the epochs the CHECKPOINT has not yet
+    completed.  Epochs the checkpoint finished are never re-offered, so
+    ADDING a new sink to a long-running fanout requires a one-time batch
+    backfill (``engine.replay`` over the retained log) before joining
+    the routes — the standard bootstrap for any log-compacted consumer.
+
+    ``predicate_sql`` (a Spark SQL boolean over the event columns, e.g.
+    ``\"repo like 'org0/%'\"``) routes a subset to that sink — the NiFi
+    multi-relationship fan-out (SURVEY §2.1 R1) lifted to sink
+    granularity.  A route with None receives everything.  An epoch whose
+    filtered subset is EMPTY still commits (zero-row batch) so the
+    route's watermark advances — otherwise a restart would re-offer old
+    epochs to quiet routes forever.
+
+    100 TB note: the micro-batch is NOT cached across routes — each
+    route re-reads the replayable source files (scan cost ~10× below the
+    parse each route then pays; caching the multi-KB payload was the r3
+    scale-killer).  Routes with disjoint predicates each parse only
+    their subset.
+    """
+    from pyspark.sql import functions as F
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sid = _checkpoint_stream_id(checkpoint_dir)
+        for _name, (engine, pred) in routes.items():
+            last = engine.last_epoch(stream_id=sid)
+            if last is not None and int(epoch_id) <= last:
+                continue  # this sink already holds this epoch
+            sub = batch_df.filter(F.expr(pred)) if pred else batch_df
+            engine.apply_batch(sub, batch_id=engine.next_batch_id(),
+                               epoch=int(epoch_id), stream_id=sid)
+
+    writer = events.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -4,6 +4,8 @@ idempotence, and incremental arrival."""
 
 import os
 
+import pytest
+
 from emailcdc import schemas
 from emailcdc.engine import CdcEngine
 from emailcdc.fixtures import expected_final_state, make_change_events
@@ -121,6 +123,85 @@ class TestStreaming:
         run_stream(engine, stream_events(spark, src),
                    str(tmp_path / "ckpt2")).awaitTermination(180)
         assert engine.table("messages").count() == before
+
+    def test_fanout_two_sinks_parity_and_idempotence(self, spark, tmp_path):
+        """run_stream_fanout: one stream → two sinks, both reach the full
+        final state; a re-run applies nothing twice on either sink."""
+        from emailcdc.streaming import run_stream_fanout
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        _write_chunk(spark, EVENTS, src)
+        a = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink_a"), n_buckets=8))
+        b = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink_b"), n_buckets=8))
+        routes = {"a": (a, None), "b": (b, None)}
+        run_stream_fanout(routes, stream_events(spark, src),
+                          ckpt).awaitTermination(180)
+        assert _snap_keys(a) == set(EXPECTED)
+        assert _snap_keys(b) == set(EXPECTED)
+        na, nb = a.table("messages").count(), b.table("messages").count()
+        run_stream_fanout(routes, stream_events(spark, src),
+                          ckpt).awaitTermination(180)
+        assert a.table("messages").count() == na
+        assert b.table("messages").count() == nb
+
+    def test_fanout_crash_between_sink_commits_heals(self, spark, tmp_path):
+        """Crash window: within one epoch, sink A commits, then the query
+        dies before sink B's commit.  The restart re-delivers the
+        unfinished epoch; A's watermark skips it, B applies it — per-sink
+        exactly-once with no cross-sink transaction."""
+        from emailcdc.streaming import run_stream_fanout
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        _write_chunk(spark, EVENTS, src)
+        a = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink_a"), n_buckets=8))
+        b_sink = SnapshotParquetSink(spark, str(tmp_path / "sink_b"),
+                                     n_buckets=8)
+        b = CdcEngine(spark, b_sink)
+
+        class _Dies(CdcEngine):
+            def apply_batch(self, *a_, **kw):  # crash BEFORE B's commit
+                raise RuntimeError("simulated crash before sink B commit")
+
+        dying_b = _Dies(spark, b_sink)
+        q = run_stream_fanout({"a": (a, None), "b": (dying_b, None)},
+                              stream_events(spark, src), ckpt)
+        with pytest.raises(Exception, match="simulated crash"):
+            q.awaitTermination(180)
+            q.processAllAvailable()  # surface the foreachBatch error
+        assert _snap_keys(a) == set(expected_final_state(EVENTS[:]))  # A landed epoch 0
+        na = a.table("messages").count()
+        assert b_sink.read_manifest() is None  # B has nothing
+        # restart, healthy B: the replayed epoch applies to B only
+        run_stream_fanout({"a": (a, None), "b": (b, None)},
+                          stream_events(spark, src), ckpt).awaitTermination(180)
+        assert _snap_keys(b) == set(EXPECTED)
+        assert a.table("messages").count() == na
+
+    def test_fanout_routed_predicates_partition_the_stream(self, spark,
+                                                           tmp_path):
+        """Predicate routes: two disjoint repo filters — each sink holds
+        exactly its slice and their union is the full final state."""
+        from emailcdc.streaming import run_stream_fanout
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        _write_chunk(spark, EVENTS, src)
+        hot = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink_hot"), n_buckets=8))
+        cold = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink_cold"), n_buckets=8))
+        pred = "repo like 'org0/hot%'"
+        run_stream_fanout(
+            {"hot": (hot, pred), "cold": (cold, f"not ({pred})")},
+            stream_events(spark, src), ckpt).awaitTermination(180)
+        hot_keys = _snap_keys(hot)
+        cold_keys = _snap_keys(cold)
+        assert hot_keys and cold_keys
+        assert hot_keys.isdisjoint(cold_keys)
+        assert hot_keys | cold_keys == set(EXPECTED)
+        assert all(r.startswith("org0/hot") for r, _p in hot_keys)
 
     def test_legacy_manifest_unowned_by_stream_aware_caller(self, spark,
                                                             tmp_path):
