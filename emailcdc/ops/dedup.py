@@ -107,6 +107,42 @@ def minhash_signature(col, n_hashes: int = 64, shingle_n: int = 5) -> Column:
     return _udf(F.col(col) if isinstance(col, str) else col)
 
 
+def minhash_band_buckets(col, n_hashes: int = 64, bands: int = 16,
+                         shingle_n: int = 5) -> Column:
+    """``bands``-long array of band-bucket hashes, computed INSIDE the
+    signature UDF (numpy row-fold of each band's r signature values).
+
+    The previous formulation banded with Catalyst HOFs
+    (explode(transform(sequence, slice+concat_ws+xxhash))) — those
+    lambdas evaluate INTERPRETED per element, and banding a 128-long
+    signature into 64 buckets measured ~4.5 s for 5k docs, 35× the
+    signature computation itself.  Folding the buckets in the same
+    Arrow batch is a handful of vectorized ops; the driver-side plan
+    then only posexplodes a ready array.  Bucket equality is implied by
+    band-tuple equality (a deterministic 64-bit polynomial fold);
+    collisions can only ADD candidates, which verification removes."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        sigs = _minhash_batch(texts, n_hashes, shingle_n)
+        out = []
+        with np.errstate(over="ignore"):
+            for sig in sigs:
+                m = np.asarray(sig, dtype=np.uint64).reshape(bands, r)
+                acc = np.full(bands, np.uint64(1469598103934665603))  # FNV
+                for j in range(r):
+                    acc = (acc ^ m[:, j]) * np.uint64(1099511628211)
+                out.append(acc.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
 def _drop_oversized_buckets(banded: DataFrame, keys: list[str],
                             max_bucket: int | None) -> DataFrame:
     """Remove rows of degenerate LSH buckets (> max_bucket members).
@@ -143,25 +179,12 @@ def minhash_lsh_candidates(
     candidate pair (id_a < id_b).  Output: (id_a, id_b) distinct.
     ``max_bucket`` caps degenerate buckets (see _drop_oversized_buckets)."""
     assert n_hashes % bands == 0
-    r = n_hashes // bands
-    sig = df.select(
+    banded = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n_hashes, shingle_n).alias("_sig"),
+        F.posexplode(
+            minhash_band_buckets(text_col, n_hashes, bands, shingle_n)
+        ).alias("band", "bucket"),
     )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")
-                    ))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
     banded = _drop_oversized_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -181,11 +204,21 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str,
                   pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
 
-    Verification stage after LSH: joins shingle sets onto the (small)
-    candidate set, then pure array math."""
-    sets = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_set"),
+    Verification stage after LSH: shingle sets are computed ONLY for
+    documents that appear in a candidate pair (left-semi join before the
+    HOF shingling) — at LSH-selectivity the candidate id set is orders of
+    magnitude smaller than the corpus, and the shingle HOF is the
+    expensive expression here, so verification cost scales with the
+    candidates, not the corpus."""
+    cand_ids = (pairs.select(F.col("id_a").alias("_id"))
+                .unionByName(pairs.select(F.col("id_b").alias("_id")))
+                .distinct())
+    sets = (
+        df.join(cand_ids, F.col(id_col) == F.col("_id"), "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("_set"),
+        )
     )
     return (
         pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
