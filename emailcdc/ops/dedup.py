@@ -384,27 +384,45 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
     projection is a sequential JVM fold — both exactly reproducible by the
     DuckDB oracle (list_dot_product against the same literal planes)."""
     ws = hyperplane_weights(seed, n_tables, n_bits, dim)
-    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    def proj(t: int, b: int):
-        w = F.array(*[F.lit(x) for x in ws[t][b]])
-        return F.aggregate(F.zip_with(vecd, w, lambda v, x: v * x),
-                           F.lit(0.0), lambda acc, v: acc + v)
+    # Projections as a numpy pandas_udf that REPLICATES the sequential
+    # fold bit-for-bit: the accumulation loops over dimensions in order
+    # (acc += v_d * w_d), vectorized across rows × planes, so each
+    # (row, plane) sum performs the identical IEEE multiply-add sequence
+    # the previous Catalyst aggregate(zip_with(...)) fold did — and the
+    # DuckDB oracle's list fold still matches.  The HOF form evaluated
+    # its lambdas interpreted: 48 planes × 64 dims per row measured ~4 s
+    # for 4k rows; the numpy form is dim fused-multiply-add passes.
+    from pyspark.sql.types import ArrayType, LongType
 
-    def bucket(t: int):
-        expr = F.lit(0).cast("long")
-        for b in range(n_bits):
-            expr = expr * 2 + F.when(proj(t, b) > 0, F.lit(1)).otherwise(F.lit(0))
-        return expr
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        planes = np.asarray(ws, dtype=np.float64).reshape(
+            n_tables * n_bits, dim).T          # (dim, planes)
+        bit_w = 2 ** np.arange(n_bits - 1, -1, -1, dtype=np.int64)
+        out = []
+        clean, idx = [], []
+        for i, v in enumerate(vecs):
+            out.append([0] * n_tables)          # null/ragged → bucket 0
+            if v is not None and len(v) == dim:
+                clean.append(np.asarray(v, dtype=np.float64))
+                idx.append(i)
+        if clean:
+            V = np.stack(clean)                  # (n, dim)
+            acc = np.zeros((len(V), n_tables * n_bits))
+            for d in range(dim):                 # sequential over dims
+                acc += V[:, d:d + 1] * planes[d:d + 1, :]
+            bits = (acc > 0).reshape(len(V), n_tables, n_bits)
+            buckets = (bits * bit_w).sum(axis=2)
+            for row, i in zip(buckets, idx):
+                out[i] = row.tolist()
+        return pd.Series(out)
 
-    tables = F.array(*[
-        F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
-        for t in range(n_tables)
-    ])
     banded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(tables).alias("tb"),
-    ).select("_id", "tb.tbl", "tb.bucket")
+        F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
     banded = _drop_oversized_buckets(banded, ["tbl", "bucket"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     # candidate pairs carry only ids — the (wide) vectors never ride the
