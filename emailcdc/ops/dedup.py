@@ -258,18 +258,32 @@ def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 60):
     chunk_bits = bits // n_chunks
     bit_idx = np.arange(bits, dtype=np.uint64)
     out = []
+    # token→hash memo across the whole Arrow batch: corpus token reuse is
+    # high (stopwords dominate), so most sha256 calls repeat — hash each
+    # DISTINCT token once and weight its bit votes by the occurrence
+    # count (mathematically identical majority)
+    memo: dict[str, int] = {}
     for text in texts:
         toks = (text or "").split()
         if not toks:
             out.append([0] * n_chunks)
             continue
-        hs = np.fromiter(
-            (int(hashlib.sha256(t.encode("utf-8", "ignore")).hexdigest()[:15], 16)
-             for t in toks),
-            dtype=np.uint64, count=len(toks),
-        )
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        hs_list = []
+        for t in counts:
+            h = memo.get(t)
+            if h is None:
+                h = int(hashlib.sha256(
+                    t.encode("utf-8", "ignore")).hexdigest()[:15], 16)
+                memo[t] = h
+            hs_list.append(h)
+        hs = np.fromiter(hs_list, dtype=np.uint64, count=len(hs_list))
+        w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
         bit_matrix = ((hs[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
-        majority = ((2 * bit_matrix - 1).sum(axis=0) > 0).astype(np.uint64)
+        majority = (((2 * bit_matrix - 1) * w[:, None]).sum(axis=0)
+                    > 0).astype(np.uint64)
         chunks = []
         for c in range(n_chunks):
             seg = majority[c * chunk_bits:(c + 1) * chunk_bits]
