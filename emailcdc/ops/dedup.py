@@ -236,8 +236,16 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str,
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n_hashes: int = 64,
                   bands: int = 16, shingle_n: int = 5) -> DataFrame:
-    """Near-duplicate pairs with verified Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands, shingle_n)
+    """Near-duplicate pairs with verified Jaccard ≥ threshold.
+
+    The candidate frame is persisted: verification references it three
+    times (id_a semi side, id_b semi side, the final pair join), and
+    without materialization each reference re-runs the whole signature →
+    banding → self-join pipeline.  Candidates are (id, id) pairs only —
+    O(LSH selectivity), orders of magnitude below the corpus — so the
+    cache cost is negligible at any scale."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands,
+                                   shingle_n).persist()
     verified = ngram_jaccard(df, text_col, id_col, cands, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -440,13 +448,16 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
     banded = _drop_oversized_buckets(banded, ["tbl", "bucket"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     # candidate pairs carry only ids — the (wide) vectors never ride the
-    # banding shuffle; they join back onto the (small) verified-candidate set
+    # banding shuffle; they join back onto the (small) verified-candidate
+    # set.  Persisted because the verification joins reference the frame
+    # twice (see minhash_dedup) — ids-only, negligible cache cost.
     pairs = (
         l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
                & (F.col("l.bucket") == F.col("r.bucket"))
                & (F.col("l._id") < F.col("r._id")))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .persist()
     )
     vecs = df.select(F.col(id_col).alias("_id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
