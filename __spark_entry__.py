@@ -796,6 +796,51 @@ ORDER BY user_id, session_idx
 """
 
 
+def _native_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (the idiomatic form of the
+    gap-sessionization the manual lag/running-sum variant implements).
+    Boundary semantics pinned empirically: a gap of exactly the window
+    size MERGES (split strictly greater), and window.end = last event +
+    gap — the oracle replicates both in integer microseconds.  Money via
+    the floor-micro BIGINT pattern; times via timestamp→long floors."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("user_id",
+                   F.session_window(F.col("ts").cast("timestamp"),
+                                    "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _vsum_cents("value").alias("total_cents"))
+        .select("user_id",
+                F.col("w.start").cast("long").alias("start_s"),
+                F.col("w.end").cast("long").alias("end_s"),
+                "n_events", "total_cents")
+        .orderBy("user_id", "start_s")
+    )
+
+
+_NATIVE_SESSIONS_SQL = f"""
+SELECT user_id,
+       min(ts_us) // 1000000 AS start_s,
+       (max(ts_us) + 1800000000) // 1000000 AS end_s,
+       count(*) AS n_events,
+       {_duck_vsum_cents('value')} AS total_cents
+FROM (
+  SELECT user_id, value, ts_us,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, value, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts) > 1800000000
+                THEN 1 ELSE 0 END AS gap
+    FROM events
+  )
+)
+GROUP BY user_id, sess
+ORDER BY user_id, start_s
+"""
+
+
 def _user_sessions_times(spark: SparkSession, sf: str) -> DataFrame:
     """Diagnostic split (VERDICT r3 task 2c, remove once green): the
     time/count columns of user_sessions without the money column."""
@@ -1998,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
         "user_sessions_times": _user_sessions_times,
+        "native_session_windows": _native_session_windows,
         "user_sessions_cents": _user_sessions_cents,
         "order_gaps_quartiles": _order_gaps_and_quartiles,
         "order_price_ranks": _order_price_ranks,
@@ -2063,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
         "user_sessions_times": _SESSIONS_TIMES_SQL,
+        "native_session_windows": _NATIVE_SESSIONS_SQL,
         "user_sessions_cents": _SESSIONS_CENTS_SQL,
         "order_gaps_quartiles": _GAPS_SQL,
         "order_price_ranks": _RANKS_SQL,
