@@ -55,10 +55,12 @@ def windowed_counts_stream(events: DataFrame, *, window: str = "10 minutes",
         .groupBy(F.window(ts_col, window).alias("w"), group_col)
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
-             .cast("double").alias("total_value"))
+             .cast("double").alias("total_value"),
+             F.sum(F.expr(f"floor({value_col} * 1000000.0D + 0.5D)"))
+             .alias("total_micros"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            group_col, "n", "total_value",
+            group_col, "n", "total_value", "total_micros",
         )
     )
