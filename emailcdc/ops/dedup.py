@@ -496,15 +496,16 @@ def decontaminate_ngram(df: DataFrame, bench: DataFrame, id_col: str,
     hit count exceeds the cap are dropped.  One corpus shuffle on doc id
     for the hit count; at 10^9 docs the benchmark side stays tiny so the
     probe is map-side."""
+    from .textstats import shingle_array
     bsh = (
-        bench.select(F.explode(F.array_distinct(
-            shingles(bench_text_col, shingle_n))).alias("_s"))
+        bench.select(F.explode(
+            shingle_array(bench_text_col, shingle_n)).alias("_s"))
         .distinct()
     )
     hits = (
         df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.array_distinct(
-                      shingles(text_col, shingle_n))).alias("_s"))
+                  F.explode(
+                      shingle_array(text_col, shingle_n)).alias("_s"))
         .join(F.broadcast(bsh), "_s", "left_semi")
         .groupBy("_id").agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") > max_overlap)

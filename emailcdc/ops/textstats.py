@@ -94,6 +94,31 @@ def shingles(col, n: int = 5) -> Column:
     )
 
 
+def shingle_array(col, n: int = 5) -> Column:
+    """DISTINCT word n-gram shingles as an Arrow-batched UDF —
+    value-identical to ``array_distinct(shingles(col, n))`` (first-
+    occurrence order, short texts collapse to one joined shingle), but
+    the HOF form evaluates its lambda interpreted per shingle, which
+    dominates wall time on corpus-wide shingling (the r4 lesson across
+    minhash/fingerprint/hyperplane)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = (text or "").split()
+            if len(toks) < n:
+                out.append([" ".join(toks)])
+            else:
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))))
+        return pd.Series(out)
+
+    return _udf(F.col(col) if isinstance(col, str) else col)
+
+
 def hash60(col) -> Column:
     """60-bit integer hash of a string: first 15 hex chars of sha256.
 
