@@ -124,6 +124,25 @@ class TestStreaming:
                    str(tmp_path / "ckpt2")).awaitTermination(180)
         assert engine.table("messages").count() == before
 
+    def test_rate_limited_microbatches(self, spark, tmp_path):
+        """Backpressure knob (FLOWFILE_COUNT analog): maxFilesPerTrigger=1
+        slices the drain into one-file micro-batches — multiple epochs,
+        each committed and watermarked, same final state."""
+        src = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+        third = len(EVENTS) // 3
+        _write_chunk(spark, EVENTS[:third], src)
+        _write_chunk(spark, EVENTS[third:2 * third], src)
+        _write_chunk(spark, EVENTS[2 * third:], src)
+        engine = CdcEngine(spark, SnapshotParquetSink(
+            spark, str(tmp_path / "sink"), n_buckets=8))
+        run_stream(engine,
+                   stream_events(spark, src, max_files_per_trigger=1),
+                   ckpt).awaitTermination(240)
+        assert _snap_keys(engine) == set(EXPECTED)
+        # three files → at least three epochs, watermark at the last one
+        assert engine.last_epoch() >= 2
+
     def test_fanout_two_sinks_parity_and_idempotence(self, spark, tmp_path):
         """run_stream_fanout: one stream → two sinks, both reach the full
         final state; a re-run applies nothing twice on either sink."""
