@@ -648,6 +648,41 @@ ORDER BY region, nation
 """
 
 
+def _grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general reshape ROLLUP/CUBE are
+    special cases of: exactly three aggregation shapes in ONE pass
+    ((status, priority), (status), ()) with no cross-product rows CUBE
+    would add.  Spark evaluates it as a single expand+aggregate."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)*100
+                    AS BIGINT) AS revenue_cents
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority, status, priority
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)*100 AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, status, priority
+"""
+
+
 def _cube_order_counts(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (market segment, order priority) with GROUPING()
     indicators — completes the OLAP reshape family next to ROLLUP and
@@ -2038,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "rollup_revenue": _rollup_revenue,
         "cube_order_counts": _cube_order_counts,
+        "grouping_sets_orders": _grouping_sets_orders,
         "semi_anti_customers": _semi_anti_customers,
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
@@ -2104,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _Q8_SQL,
         "rollup_revenue": _ROLLUP_SQL,
         "cube_order_counts": _CUBE_SQL,
+        "grouping_sets_orders": _GROUPING_SETS_SQL,
         "semi_anti_customers": _SEMI_ANTI_SQL,
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
