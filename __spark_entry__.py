@@ -816,8 +816,9 @@ SELECT user_id, session_idx, count(*) AS n_events,
        max(epoch_us(ts)) // 1000000 AS end_s,
        {_duck_vsum_cents('value')} AS total_cents
 FROM (
-  SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_idx
   FROM (
     SELECT *, CASE WHEN epoch_us(ts) // 1000000
                         - lag(epoch_us(ts) // 1000000) OVER
@@ -874,29 +875,6 @@ FROM (
 GROUP BY user_id, sess
 ORDER BY user_id, start_s
 """
-
-
-def _user_sessions_times(spark: SparkSession, sf: str) -> DataFrame:
-    """Diagnostic split (VERDICT r3 task 2c, remove once green): the
-    time/count columns of user_sessions without the money column."""
-    return _user_sessions(spark, sf).select(
-        "user_id", "session_idx", "n_events", "start_s", "end_s")
-
-
-def _user_sessions_cents(spark: SparkSession, sf: str) -> DataFrame:
-    """Diagnostic split (VERDICT r3 task 2c, remove once green): the money
-    column of user_sessions without the time columns."""
-    return _user_sessions(spark, sf).select(
-        "user_id", "session_idx", "total_cents")
-
-
-_SESSIONS_TIMES_SQL = (
-    "SELECT user_id, session_idx, n_events, start_s, end_s FROM ("
-    + _SESSIONS_SQL + ") ORDER BY user_id, session_idx")
-
-_SESSIONS_CENTS_SQL = (
-    "SELECT user_id, session_idx, total_cents FROM ("
-    + _SESSIONS_SQL + ") ORDER BY user_id, session_idx")
 
 
 def _order_gaps_and_quartiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -1048,7 +1026,7 @@ def _json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 _JSON_PROPS_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
        min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
        max(CAST(props->>'$.k' AS BIGINT)) AS k_max,
        count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS k_distinct
@@ -1081,8 +1059,8 @@ def _rolling_hour_user_stats(spark: SparkSession, sf: str) -> DataFrame:
 _ROLLING_SQL = """
 SELECT event_id, user_id,
        count(*) OVER w AS n_trailing_hour,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
-           AS micros_trailing_hour
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS micros_trailing_hour
 FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -2078,9 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
         "user_sessions": _user_sessions,
-        "user_sessions_times": _user_sessions_times,
         "native_session_windows": _native_session_windows,
-        "user_sessions_cents": _user_sessions_cents,
         "order_gaps_quartiles": _order_gaps_and_quartiles,
         "order_price_ranks": _order_price_ranks,
         "asof_latest_order": _asof_latest_order,
@@ -2145,9 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_event_stats": _MONTHLY_SQL,
         "value_percentiles": _PERCENTILE_SQL,
         "user_sessions": _SESSIONS_SQL,
-        "user_sessions_times": _SESSIONS_TIMES_SQL,
         "native_session_windows": _NATIVE_SESSIONS_SQL,
-        "user_sessions_cents": _SESSIONS_CENTS_SQL,
         "order_gaps_quartiles": _GAPS_SQL,
         "order_price_ranks": _RANKS_SQL,
         "asof_latest_order": _ASOF_SQL,

@@ -238,14 +238,21 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   bands: int = 16, shingle_n: int = 5) -> DataFrame:
     """Near-duplicate pairs with verified Jaccard ≥ threshold.
 
-    The candidate frame is persisted: verification references it three
-    times (id_a semi side, id_b semi side, the final pair join), and
-    without materialization each reference re-runs the whole signature →
-    banding → self-join pipeline.  Candidates are (id, id) pairs only —
-    O(LSH selectivity), orders of magnitude below the corpus — so the
-    cache cost is negligible at any scale."""
+    The candidate frame is EAGERLY materialized (localCheckpoint):
+    verification references it three times (id_a semi side, id_b semi
+    side, the final pair join), and a lazy persist() races — the three
+    references can fan out as concurrent stages inside ONE job and each
+    recompute the whole signature → banding → self-join pipeline before
+    any partition lands in the cache (observed: the r4 driver bench ran
+    this query 16% SLOWER after the lazy persist landed).  An eager
+    localCheckpoint runs the pipeline exactly once, truncates the
+    lineage, and its blocks are reference-tracked by the ContextCleaner
+    (no unpersist leak across long-lived sessions — ADVICE r4).
+    Candidates are (id, id) pairs only — O(LSH selectivity), orders of
+    magnitude below the corpus — so materialization cost is negligible
+    at any scale."""
     cands = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands,
-                                   shingle_n).persist()
+                                   shingle_n).localCheckpoint(eager=True)
     verified = ngram_jaccard(df, text_col, id_col, cands, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -449,15 +456,17 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
     l, r = banded.alias("l"), banded.alias("r")
     # candidate pairs carry only ids — the (wide) vectors never ride the
     # banding shuffle; they join back onto the (small) verified-candidate
-    # set.  Persisted because the verification joins reference the frame
-    # twice (see minhash_dedup) — ids-only, negligible cache cost.
+    # set.  Eagerly materialized (localCheckpoint) because the
+    # verification joins reference the frame twice — a lazy persist can
+    # recompute the projection UDF per reference before the cache fills,
+    # and never unpersists (see minhash_dedup).  Ids-only, negligible cost.
     pairs = (
         l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
                & (F.col("l.bucket") == F.col("r.bucket"))
                & (F.col("l._id") < F.col("r._id")))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     vecs = df.select(F.col(id_col).alias("_id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))

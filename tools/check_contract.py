@@ -21,7 +21,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# oracle output types that DuckDB's pandas conversion renders as float64
+# (so `3` hashes as "3.0" driver-side while Spark emits "3") — the r1-r4
+# user_sessions/json_props/rolling_hour red class.  Any oracle column with
+# one of these dtypes is a guaranteed driver hash-red even when fetchall()
+# compares equal; fail it loudly here.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def norm_cell(v, float_fmt="%.9g"):
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy array
+        v = v.tolist()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -79,8 +89,13 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            # canonicalize through pandas like the driver does (a NULL in
+            # an integer column becomes NaN on BOTH engines' frames, and
+            # dtype coercions surface symmetrically)
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False,
+                                                       name=None)]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
@@ -92,16 +107,31 @@ def main():
                 print(f"  WARNING: zero rows")
             continue
         try:
-            orc = con.execute(oracles[name])
-            ocols = [d[0] for d in orc.description]
-            orows = orc.fetchall()
+            # dtype guard: the driver canonicalizes through pandas, where
+            # HUGEINT/DECIMAL render as float64 ("3" -> "3.0") — a class
+            # invisible to fetchall() (exact Python ints).  DESCRIBE the
+            # oracle and fail on any forbidden output dtype.
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            bad = [(c, t) for c, t, *_ in desc
+                   if any(f in t.upper() for f in _FORBIDDEN_ORACLE_TYPES)]
+            if bad:
+                print(f"FAIL {name}: oracle dtype would hash as float64 "
+                      f"driver-side: {bad} — CAST(... AS BIGINT) it")
+                failures += 1
+                continue
+            # fetch via .df() (pandas) — the driver's canonicalization
+            # path — NOT fetchall(), which converts HUGEINT to exact
+            # Python int and hid the r1-r4 red class from this gate.
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
             continue
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
-        s_cells = [[r[c] for c in scols] for r in srows]
+        s_cells = [list(r) for r in srows]
         ok_hash = frame_hash(scols, s_cells) == frame_hash(ocols, orows)
         status = "OK" if (ok_count and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
@@ -126,7 +156,8 @@ def main():
         if status == "FAIL" and ok_cols and ok_count:
             # show first differing row for debugging
             order = sorted(scols)
-            s_lines = sorted(tuple(norm_cell(r[c]) for c in order) for r in srows)
+            s_map = {c: i for i, c in enumerate(scols)}
+            s_lines = sorted(tuple(norm_cell(r[s_map[c]]) for c in order) for r in srows)
             o_map = {c: i for i, c in enumerate(ocols)}
             o_lines = sorted(tuple(norm_cell(r[o_map[c]]) for c in order) for r in orows)
             for a, b in zip(s_lines, o_lines):
