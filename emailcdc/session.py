@@ -31,6 +31,10 @@ def get_spark(app: str = "emailcdc", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("EMAILCDC_ARROW_BATCH", "10000"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-terminated stage lines that
+        # splice themselves into adjacent stdout lines (corrupts logs and
+        # line-oriented output parsing)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
