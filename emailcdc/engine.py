@@ -269,7 +269,22 @@ class CdcEngine:
             ).withColumn("_seq", F.lit(batch_id).cast("long"))
             stage_dir = os.path.join(self.sink.root, "data", "_envelope",
                                      f"batch-{batch_id}")
-            envelope.write.mode("overwrite").partitionBy("record_type").parquet(stage_dir)
+            # FLAT write — record_type stays a data column.  partitionBy
+            # forced a per-task sort of the multi-KB envelope rows plus up
+            # to 5× the files (measured +0.7 s per 500k-event batch warm,
+            # 128 vs 32 files); per-type reads instead prune via the
+            # record_type column + parquet column pruning (a messages read
+            # decodes only the message struct — other types' bytes are
+            # never touched).  Per-type presence rides the SAME write
+            # action as an Observation (no extra job).
+            from pyspark.sql import Observation
+            obs = Observation()
+            observed = envelope.observe(obs, *[
+                F.count(F.when(F.col("record_type") == rt, 1)).alias(rt)
+                for rt in ("snapshot", "message", "attachment",
+                           "calendar", "failure")])
+            observed.write.mode("overwrite").parquet(stage_dir)
+            type_counts = obs.get
             _mark("extract+stage")
 
             stats = {
@@ -290,18 +305,20 @@ class CdcEngine:
                                        ("message", "messages"),
                                        ("attachment", "attachments"),
                                        ("calendar", "calendar_entries")):
-                sub = os.path.join(stage_dir, f"record_type={record_type}")
-                if os.path.isdir(sub):
-                    upsert_tables[table] = EnvelopedDir(sub, record_type)
-            fail_sub = os.path.join(stage_dir, "record_type=failure")
+                if type_counts.get(record_type, 0) > 0:
+                    upsert_tables[table] = EnvelopedDir(
+                        stage_dir, record_type,
+                        where=f"record_type = '{record_type}'")
             self.sink.commit(
                 batch_id=batch_id,
                 offset_lo=offset_lo,
                 offset_hi=offset_hi,
                 upserts=upsert_tables,
                 delete_keys=None,
-                appends=({"failures": EnvelopedDir(fail_sub, "failure")}
-                         if os.path.isdir(fail_sub) else {}),
+                appends=({"failures": EnvelopedDir(
+                              stage_dir, "failure",
+                              where="record_type = 'failure'")}
+                         if type_counts.get("failure", 0) > 0 else {}),
                 append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,
                 # winner marks are already one-row-per-key, derived from a

@@ -63,12 +63,19 @@ class EnvelopedDir:
     """An upsert handed to ``commit`` as data ALREADY ON DISK: a parquet
     dir whose rows hold the table's columns inside the struct column
     ``field`` (plus a top-level ``_seq``).  The engine's extraction stage
-    writes the envelope once, record_type-partitioned, and registers the
-    per-type subdirs — the commit then writes NOTHING for these tables
-    (zero-copy delta registration; the old path re-read and re-wrote the
-    full multi-KB payload once per table per batch)."""
+    writes the envelope once (flat — record_type is a data column) and
+    registers the SAME dir once per table with a per-type row filter —
+    the commit then writes NOTHING for these tables (zero-copy delta
+    registration; the old path re-read and re-wrote the full multi-KB
+    payload once per table per batch).  ``where`` is a Spark SQL
+    predicate applied before unwrapping ``field`` (None = every row,
+    the pre-flat layout where the dir was a record_type= subdir):
+    reads prune to the table's own struct column + record_type via
+    parquet column pruning, so the other types' payload bytes are
+    never decoded."""
     dir: str
     field: str
+    where: str | None = None
 
 
 @dataclass
@@ -172,8 +179,9 @@ class SnapshotParquetSink:
     def _read_dirs(self, entries: list) -> DataFrame | None:
         """Union a table's registered data dirs.  Each entry is either a
         plain dir path (rows hold the table columns directly) or an
-        enveloped entry ``{"dir": d, "field": f}`` (rows hold them inside
-        struct ``f``; ``_seq`` is top-level) — see EnvelopedDir."""
+        enveloped entry ``{"dir": d, "field": f[, "where": p]}`` (rows
+        hold them inside struct ``f``; ``_seq`` is top-level; ``p`` is a
+        row predicate for flat envelope dirs) — see EnvelopedDir."""
         if not entries:
             return None
         plain = [e for e in entries if isinstance(e, str)]
@@ -182,14 +190,15 @@ class SnapshotParquetSink:
         if plain:
             frames.append(self.spark.read.option("mergeSchema", "true")
                           .parquet(*plain))
-        # enveloped dirs sharing a field can be read in one pass
-        by_field: dict[str, list[str]] = {}
+        # enveloped dirs sharing a (field, where) can be read in one pass
+        by_field: dict[tuple, list[str]] = {}
         for e in env:
-            by_field.setdefault(e["field"], []).append(e["dir"])
-        for field, dirs in by_field.items():
-            frames.append(
-                self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-                .select(f"{field}.*", SEQ))
+            by_field.setdefault((e["field"], e.get("where")), []).append(e["dir"])
+        for (field, where), dirs in by_field.items():
+            f = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            if where:
+                f = f.filter(where)
+            frames.append(f.select(f"{field}.*", SEQ))
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -327,7 +336,8 @@ class SnapshotParquetSink:
             """Upsert rows with the SEQ stamp, whatever form they arrived in."""
             if isinstance(val, EnvelopedDir):
                 # the engine stamped SEQ when it wrote the envelope
-                return self._read_dirs([{"dir": val.dir, "field": val.field}])
+                return self._read_dirs([{"dir": val.dir, "field": val.field,
+                                         "where": val.where}])
             return val.withColumn(SEQ, F.lit(batch_id).cast("long"))
 
         def _write_keyed(table: str, val, out_dir: str) -> None:
@@ -385,7 +395,8 @@ class SnapshotParquetSink:
                     new_schemas[table] = prev_schema
                 continue
             if isinstance(val, EnvelopedDir) and not compacting:
-                entry = {"dir": val.dir, "field": val.field}
+                entry = {"dir": val.dir, "field": val.field,
+                         "where": val.where}
                 new_tables[table] = (prev_dirs + [entry]
                                      if _has_parquet(val.dir) else prev_dirs)
             else:
@@ -430,7 +441,8 @@ class SnapshotParquetSink:
             out_dir = os.path.join(self.root, "data", table, f"snap-{snapshot_id}")
             if isinstance(rows, EnvelopedDir):
                 if _has_parquet(rows.dir):
-                    entry = {"dir": rows.dir, "field": rows.field}
+                    entry = {"dir": rows.dir, "field": rows.field,
+                             "where": rows.where}
                     new_tables[table] = prev_dirs + [entry]
                     new_schemas[table] = self._merged_schema_json(
                         prev.schemas.get(table) if prev else None,
@@ -614,8 +626,9 @@ class SnapshotParquetSink:
                 if os.path.normpath(sdir) not in live:
                     shutil.rmtree(sdir, ignore_errors=True)
                     removed += 1
-        # enveloped staging: a batch dir is live while ANY of its
-        # record_type subdirs is referenced by the manifest
+        # enveloped staging: a batch dir is live while the manifest
+        # references it directly (flat layout) or ANY of its record_type=
+        # subdirs (pre-flat layout)
         env_root = os.path.join(data_root, "_envelope")
         if os.path.isdir(env_root):
             for batch in os.listdir(env_root):
@@ -623,6 +636,8 @@ class SnapshotParquetSink:
                 cid = self._dir_commit_id(batch)
                 if cid is not None and cid > current:
                     continue  # in-flight batch
+                if os.path.normpath(bdir) in live:
+                    continue
                 subs = [os.path.normpath(os.path.join(bdir, s))
                         for s in os.listdir(bdir)] if os.path.isdir(bdir) else []
                 if not any(s in live for s in subs):
