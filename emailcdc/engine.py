@@ -118,7 +118,19 @@ class CdcEngine:
         legacy watermark must not drop the fresh checkpoint's epochs
         (which restart at 0); the next commit stamps the new stream_id and
         claims it (ADVICE r3).  Only a legacy caller (stream_id=None)
-        keeps the old global-watermark behavior."""
+        keeps the old global-watermark behavior.
+
+        Documented trade-off (ADVICE r4): when the SAME stream's
+        checkpoint survives an engine upgrade from the pre-stream_id
+        format, one in-flight epoch — committed to the sink but not yet
+        to the checkpoint at upgrade time — is re-delivered on restart
+        and re-applied (last_epoch reads None for the unowned manifest).
+        The manifest cannot distinguish that upgrade from a fresh stream
+        attaching to an old sink, and silently dropping a fresh stream's
+        epoch 0..N is permanent data loss, so the unowned reading is the
+        safe default; re-applying an upsert epoch is idempotent at the
+        row level (same keys, same _seq ordering) but appends duplicate
+        lineage/failure rows for that one epoch."""
         manifest = self.sink.read_manifest()
         if manifest is None:
             return None

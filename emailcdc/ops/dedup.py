@@ -71,9 +71,10 @@ def _minhash_batch(texts, n_hashes: int, shingle_n: int, seed: int = 42):
     B = rs.randint(0, 2**62, size=n_hashes, dtype=np.uint64)
     empty = [int(np.iinfo(np.int64).max)] * n_hashes
     out = []
+    from .textstats import ascii_ws_tokens
     with np.errstate(over="ignore"):
         for text in texts:
-            toks = (text or "").split()
+            toks = ascii_ws_tokens(text)
             if not toks:
                 out.append(empty)
                 continue
@@ -284,9 +285,10 @@ def _simhash_chunks_batch(texts, n_chunks: int = 4, bits: int = 60):
     # high (stopwords dominate), so most sha256 calls repeat — hash each
     # DISTINCT token once and weight its bit votes by the occurrence
     # count (mathematically identical majority)
+    from .textstats import ascii_ws_tokens
     memo: dict[str, int] = {}
     for text in texts:
-        toks = (text or "").split()
+        toks = ascii_ws_tokens(text)
         if not toks:
             out.append([0] * n_chunks)
             continue

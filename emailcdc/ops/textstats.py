@@ -8,9 +8,23 @@ nothing, and push projections down to the reader.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# ASCII \s+ tokenizer — the EXACT semantics of the Catalyst/DuckDB forms
+# these UDFs mirror (`split(trim(col), '\\s+')`): Java and RE2 \s match
+# only [ \t\n\x0b\f\r], while Python str.split() also splits on \xa0,
+#   etc., so a document containing Unicode whitespace would tokenize
+# differently engine-side vs oracle-side (ADVICE r4 #2).  findall of
+# non-whitespace runs also makes leading/trailing whitespace moot.
+_NON_WS_RUN = re.compile(r"[^ \t\n\r\f\x0b]+")
+
+
+def ascii_ws_tokens(text: str | None) -> list[str]:
+    return _NON_WS_RUN.findall(text) if text else []
 
 TOKEN_SPLIT = r"\s+"
 # BPE-ish word/punct segmentation: words-with-apostrophes | numbers | punct runs
@@ -107,7 +121,10 @@ def shingle_array(col, n: int = 5) -> Column:
     def _udf(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = (text or "").split()
+            if text is None:  # NULL in → NULL out, like the Catalyst form
+                out.append(None)
+                continue
+            toks = ascii_ws_tokens(text)
             if len(toks) < n:
                 out.append([" ".join(toks)])
             else:
@@ -150,7 +167,10 @@ def fingerprint(col, n: int = 5) -> Column:
     def _udf(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            toks = (text or "").split()
+            if text is None:  # NULL in → NULL out, like the Catalyst form
+                out.append(None)
+                continue
+            toks = ascii_ws_tokens(text)
             if len(toks) < n:
                 sh = [" ".join(toks)]
             else:

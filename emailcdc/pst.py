@@ -25,10 +25,10 @@ Scope notes (documented limits, all raise loudly):
   the public spec rather than transcribed — 237/256 entries recovered and
   cross-checked against the table's structural invariants (it is a
   self-inverse permutation; see _CYCLIC_S), 19 entries are documented
-  placeholders.  A placeholder hit on a REAL archive decodes to bytes
-  that fail the LTP structural checks (heap bSig etc.) and dead-letters
-  loudly — never silent corruption; round-trip fixtures built with this
-  table exercise the full cipher/NDB path either way.
+  placeholders.  The NDB reader decrypts strictly: a block whose lookup
+  crosses a placeholder raises PstUnverifiableCipherError and
+  dead-letters — never silent corruption; round-trip fixtures built with
+  this table (strict=False) exercise the full cipher/NDB path either way.
 - RTF bodies decompress via ``decompress_rtf`` (MS-OXRTFCP LZFu — the
   golden archive carries none, so the decoder is pinned by constructed
   round-trip tests against the spec's initial dictionary).
@@ -42,11 +42,21 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-__all__ = ["PstError", "PstFile", "PstMessage", "PstAttachment", "PstRecipient"]
+__all__ = ["PstError", "PstUnverifiableCipherError", "PstFile", "PstMessage",
+           "PstAttachment", "PstRecipient"]
 
 
 class PstError(ValueError):
     """Malformed or unsupported PST input."""
+
+
+class PstUnverifiableCipherError(PstError):
+    """A CryptCyclic block routed through an unrecovered mpbbS placeholder
+    entry: the decode would be silently wrong, so the archive must
+    dead-letter.  Distinct from plain PstError because the tolerant
+    structure-walk fallbacks (empty folder name / no children / no
+    messages on a malformed table) MUST NOT swallow it — that would turn
+    'cannot decrypt' into '0 messages, no error'."""
 
 
 # MS-PST §5.1 — NDB_CRYPT_PERMUTE decrypt permutation (ciphertext → plain).
@@ -85,11 +95,13 @@ _PERMUTE_DEC = bytes([
 # a random mis-recall cannot satisfy the pairing, so the 210
 # constraint-forced entries cross-confirm each other); the 19 positions
 # in _CYCLIC_S_PLACEHOLDERS could not be recovered and hold arbitrary
-# involution-preserving values.  A real archive whose ciphertext hits a
-# placeholder decodes to garbage that the LTP layer rejects structurally
-# (dead-letter path) — never silently wrong output.  The cipher stays
-# exactly self-inverse regardless, so round-trip fixtures exercise the
-# true algorithm.
+# involution-preserving values.  The NDB reader decodes with strict=True:
+# any block whose lookup crosses a placeholder raises PstError and
+# dead-letters deterministically (the LTP structural checks cover only a
+# handful of header bytes per block and CANNOT reliably catch a wrong
+# placeholder decode — ADVICE r4 #1).  The cipher stays exactly
+# self-inverse regardless, so round-trip fixtures exercise the true
+# algorithm with strict=False.
 _CYCLIC_S = bytes([
     0x14, 0x53, 0x0f, 0x56, 0xb3, 0xc8, 0x7a, 0x9c, 0xeb, 0x65, 0x48, 0x17,
     0x16, 0x15, 0x9f, 0x02, 0xcc, 0x54, 0x7c, 0x83, 0x00, 0x0d, 0x0c, 0x0b,
@@ -120,6 +132,14 @@ _CYCLIC_S_PLACEHOLDERS = frozenset([
     243, 245, 248, 250, 254,
 ])
 
+# numpy mirror for the vectorized strict check in crypt_cyclic (built once)
+try:
+    import numpy as _np
+    _CYCLIC_PLACEHOLDER_ARR = _np.array(sorted(_CYCLIC_S_PLACEHOLDERS),
+                                        dtype=_np.uint8)
+except ImportError:  # pragma: no cover - numpy ships in this env
+    _CYCLIC_PLACEHOLDER_ARR = None
+
 # mpbbR (encode permute table) is by construction the inverse of mpbbI
 # (= _PERMUTE_DEC, validated structurally against the golden archive) —
 # MS-PST §5.2 defines I as R's inverse, so no independent transcription
@@ -128,12 +148,22 @@ _PERMUTE_ENC = bytes(
     {v: i for i, v in enumerate(_PERMUTE_DEC)}[x] for x in range(256))
 
 
-def crypt_cyclic(data: bytes, dw_key: int) -> bytes:
+def crypt_cyclic(data: bytes, dw_key: int, strict: bool = False) -> bytes:
     """MS-PST §5.3 CryptCyclic — self-inverse, so this both encrypts and
     decrypts.  ``dw_key`` is the low DWORD of the block's BID.  The byte
     recurrence is position-dependent (w increments per byte), so unlike
     permute it cannot be a single translate(); vectorized with numpy when
-    available (the per-block cost is O(cb) table lookups either way)."""
+    available (the per-block cost is O(cb) table lookups either way).
+
+    ``strict=True`` (the NDB reader's setting) raises :class:`PstError`
+    if ANY byte's mpbbS lookup lands on one of the 19 unrecovered
+    placeholder positions (``_CYCLIC_S_PLACEHOLDERS``): a real archive's
+    block routed through a placeholder would decode to silently wrong
+    bytes that the LTP structural checks (a handful of header bytes per
+    block) cannot reliably catch — dead-lettering deterministically is
+    the only safe behavior until the true table is transcribed (ADVICE
+    r4 #1).  ``strict=False`` keeps the exact self-inverse algorithm for
+    round-trip fixtures and the test builder."""
     w0 = (dw_key ^ (dw_key >> 16)) & 0xFFFF
     try:
         import numpy as np
@@ -144,6 +174,11 @@ def crypt_cyclic(data: bytes, dw_key: int) -> bytes:
             b = (b + w) & 0xFF
             b = _PERMUTE_ENC[b]
             b = (b + (w >> 8)) & 0xFF
+            if strict and b in _CYCLIC_S_PLACEHOLDERS:
+                raise PstUnverifiableCipherError(
+                    "CryptCyclic block routes through an unrecovered mpbbS "
+                    f"entry (index {b}) — refusing to emit unverifiable "
+                    "bytes")
             b = _CYCLIC_S[b]
             b = (b - (w >> 8)) & 0xFF
             b = _PERMUTE_DEC[b]
@@ -159,7 +194,12 @@ def crypt_cyclic(data: bytes, dw_key: int) -> bytes:
     dec = np.frombuffer(_PERMUTE_DEC, dtype=np.uint8)
     b = np.frombuffer(data, dtype=np.uint8)
     b = enc[b + lob]
-    b = mid[b + hib]
+    mid_idx = (b + hib)  # uint8 wraps — the actual mpbbS lookup index
+    if strict and np.isin(mid_idx, _CYCLIC_PLACEHOLDER_ARR).any():
+        raise PstUnverifiableCipherError(
+            "CryptCyclic block routes through an unrecovered mpbbS entry — "
+            "refusing to emit unverifiable bytes")
+    b = mid[mid_idx]
     b = dec[b - hib]
     return (b - lob).tobytes()
 
@@ -389,8 +429,10 @@ class PstFile:
             if self._dec is not None:
                 data = data.translate(self._dec)
             elif self._cyclic:
-                # key = low DWORD of the BID (MS-PST §5.3)
-                data = crypt_cyclic(data, bid & 0xFFFFFFFF)
+                # key = low DWORD of the BID (MS-PST §5.3); strict — a
+                # block crossing an unrecovered mpbbS entry dead-letters
+                # instead of yielding silently corrupt bytes
+                data = crypt_cyclic(data, bid & 0xFFFFFFFF, strict=True)
         return data
 
     def _data_blocks(self, bid: int) -> list[bytes]:
@@ -656,6 +698,8 @@ class PstFile:
         try:
             name = self._pc(folder_nid).get(P_DISPLAY_NAME)
             return name if isinstance(name, str) else ""
+        except PstUnverifiableCipherError:
+            raise
         except PstError:
             return ""
 
@@ -667,6 +711,8 @@ class PstFile:
             return []
         try:
             return [r[-1] for r in self._tc_rows(hier_nid) if r[-1]]
+        except PstUnverifiableCipherError:
+            raise
         except PstError:
             return []
 
@@ -677,6 +723,8 @@ class PstFile:
             return []
         try:
             return [r[-1] for r in self._tc_rows(cont_nid) if r[-1]]
+        except PstUnverifiableCipherError:
+            raise
         except PstError:
             return []
 

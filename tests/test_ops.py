@@ -249,12 +249,22 @@ class TestStdlibCodecs:
         import zlib
 
         import numpy as np
-        px = np.arange(20, dtype=np.uint8).reshape(4, 5) * 7
-        # encode each row with a different filter (0=None,1=Sub,2=Up,3=Avg
-        # ... row 4 uses Paeth)
+        px = np.arange(25, dtype=np.uint8).reshape(5, 5) * 7
+        # encode each row with a different filter
+        # (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth — RFC 2083 §6.6)
         raw = b""
         prev = np.zeros(5, dtype=np.int32)
-        for y, ftype in enumerate([0, 1, 2, 3]):
+
+        def paeth_pred(a, b, c):
+            # hand-computed predictor per the RFC's pseudocode, written
+            # independently of the decoder's vectorized branch
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
             cur = px[y].astype(np.int32)
             if ftype == 0:
                 enc = cur
@@ -263,10 +273,15 @@ class TestStdlibCodecs:
                                 for x in range(5)])
             elif ftype == 2:
                 enc = (cur - prev) & 0xFF
-            else:
+            elif ftype == 3:
                 enc = np.array(
                     [(cur[x] - ((cur[x - 1] if x else 0) + prev[x]) // 2)
                      & 0xFF for x in range(5)])
+            else:  # 4 = Paeth
+                enc = np.array(
+                    [(cur[x] - paeth_pred(cur[x - 1] if x else 0, prev[x],
+                                          prev[x - 1] if x else 0)) & 0xFF
+                     for x in range(5)])
             raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
             prev = cur
 
@@ -275,7 +290,7 @@ class TestStdlibCodecs:
                     + struct.pack(">I", zlib.crc32(tag + body)))
 
         blob = (multimodal._PNG_MAGIC
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 5, 8, 0, 0, 0, 0))
                 + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
         assert np.array_equal(multimodal.decode_png(blob), px)
 

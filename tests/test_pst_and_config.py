@@ -379,23 +379,56 @@ class TestCyclicCrypt:
         assert crypt_cyclic(b"abcdef", 4) != crypt_cyclic(b"abcdef", 8)
 
     @pytest.mark.parametrize("ansi", [True, False])
-    @pytest.mark.parametrize("crypt", [1, 2])
-    def test_encrypted_archive_parses_identically(self, ansi, crypt):
+    def test_encrypted_archive_parses_identically(self, ansi):
         import dataclasses
 
         from pst_builder import build_pst
 
         from emailcdc.pst import parse_pst
         plain_img = build_pst(TestAnsiPstReader.MAILBOX, ansi=ansi, crypt=0)
-        enc_img = build_pst(TestAnsiPstReader.MAILBOX, ansi=ansi,
-                            crypt=crypt)
+        enc_img = build_pst(TestAnsiPstReader.MAILBOX, ansi=ansi, crypt=1)
         assert enc_img != plain_img  # cipher actually applied
         plain = [dataclasses.asdict(m) for m in parse_pst(plain_img)]
         enc = [dataclasses.asdict(m) for m in parse_pst(enc_img)]
         assert enc == plain
         assert enc[0]["attachments"][0]["data"] == b"attachment-bytes"
 
-    def test_extract_event_cyclic_end_to_end(self):
+    @pytest.mark.parametrize("ansi", [True, False])
+    def test_cyclic_archive_dead_letters_on_placeholder(self, ansi):
+        """A realistic CryptCyclic block inevitably crosses one of the 19
+        unrecovered mpbbS entries (~7.4%/byte); the strict NDB decode must
+        raise PstUnverifiableCipherError — NOT return an empty mailbox,
+        and NOT silently-wrong bytes (ADVICE r4 #1)."""
+        from pst_builder import build_pst
+
+        from emailcdc.pst import PstUnverifiableCipherError, parse_pst
+        enc_img = build_pst(TestAnsiPstReader.MAILBOX, ansi=ansi, crypt=2)
+        with pytest.raises(PstUnverifiableCipherError):
+            parse_pst(enc_img)
+
+    def test_strict_decode_succeeds_when_no_placeholder_hit(self):
+        """Positive strict path: ciphertext crafted so every mpbbS lookup
+        lands on a RECOVERED entry decodes under strict=True and matches
+        the non-strict decode bit-for-bit."""
+        from emailcdc.pst import (_CYCLIC_S_PLACEHOLDERS, _PERMUTE_ENC,
+                                  crypt_cyclic)
+        key = 0xB4
+        w0 = (key ^ (key >> 16)) & 0xFFFF
+        cipher = bytearray()
+        for i in range(512):
+            w = (w0 + i) & 0xFFFF
+            lob, hib = w & 0xFF, w >> 8
+            for c in range(256):  # first byte whose lookup is recovered
+                if (_PERMUTE_ENC[(c + lob) & 0xFF] + hib) & 0xFF \
+                        not in _CYCLIC_S_PLACEHOLDERS:
+                    cipher.append(c)
+                    break
+        strict = crypt_cyclic(bytes(cipher), key, strict=True)
+        assert strict == crypt_cyclic(bytes(cipher), key)
+        # and self-inverse still holds through the strict path's output
+        assert crypt_cyclic(strict, key) == bytes(cipher)
+
+    def test_extract_event_cyclic_dead_letters_end_to_end(self):
         import base64
 
         from pst_builder import build_pst
@@ -403,7 +436,8 @@ class TestCyclicCrypt:
             build_pst(TestAnsiPstReader.MAILBOX, ansi=False,
                       crypt=2)).decode()
         out = extract_event("r", "cyclic.pst", 11, "c", "pst", blob)
-        assert out["failures"] == []
-        assert len(out["messages"]) == 2
-        assert out["messages"][0]["subject"] == "Hello"
-        assert len(out["attachments"]) == 1
+        # R2 failure routing: the whole event dead-letters, no partial rows
+        assert out["messages"] == []
+        assert out["attachments"] == []
+        assert len(out["failures"]) == 1
+        assert "mpbbS" in out["failures"][0]["error"]
