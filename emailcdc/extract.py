@@ -798,7 +798,11 @@ def extract_event(repo: str, path: str, offset, commit: str | None,
                     "mime_type": att["mime.type"],
                     "size": len(raw),
                     "sha256": hashlib.sha256(raw).hexdigest(),
-                    "content_b64": base64.b64encode(raw).decode("ascii"),
+                    # raw bytes — matches the reference's FlowFile-content
+                    # model (AbstractJavaMailProcessor.java:266-288); the
+                    # base64 view exists only at the oracle-facing contract
+                    # surface (udfs.attachments_b64_view)
+                    "content": raw,
                 }
             )
         out["messages"].append(

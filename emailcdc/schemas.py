@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     MapType,
@@ -141,7 +142,12 @@ ATTACHMENTS = StructType(
         StructField("mime_type", StringType(), True),
         StructField("size", LongType(), True),
         StructField("sha256", StringType(), True),
-        StructField("content_b64", StringType(), True),
+        # raw attachment bytes — the reference ships attachment FlowFile
+        # CONTENT as bytes (AbstractJavaMailProcessor.java:266-288);
+        # base64-in-string (the pre-r5 encoding) cost +33% on every scan
+        # and shuffle of this table.  Oracle-facing queries project
+        # base64(content) via attachments_b64_view (udfs.py).
+        StructField("content", BinaryType(), True),
     ]
 )
 

@@ -18,8 +18,10 @@ Scale notes (100 TB design):
   (``pa.array`` on per-type record lists → one RecordBatch), skipping the
   pandas object-column round trip entirely — pandas→Arrow struct
   conversion was ~35% of the parse stage's wall time (VERDICT r2 #6).
-- Attachment bytes are emitted base64-in-string; at real scale you would
-  emit BinaryType — kept string for DuckDB-oracle comparability.
+- Attachment bytes are emitted as BinaryType (the reference's
+  FlowFile-content model, AbstractJavaMailProcessor.java:266-288);
+  ``attachments_b64_view`` provides the base64 string projection for
+  DuckDB-oracle-facing contract queries.
 """
 
 from __future__ import annotations
@@ -143,3 +145,14 @@ def split_envelope(envelope: DataFrame) -> dict[str, DataFrame]:
         "failures": envelope.filter(F.col("record_type") == "failure").select("failure.*"),
         "snapshot": envelope.filter(F.col("record_type") == "snapshot").select("snapshot.*"),
     }
+
+
+def attachments_b64_view(attachments: DataFrame) -> DataFrame:
+    """Oracle-facing contract view of the attachments table: the raw
+    BinaryType ``content`` column projected as base64 text
+    (``content_b64``) so string-only comparison surfaces (DuckDB oracles,
+    JSON exports) can consume it.  The base table keeps raw bytes — the
+    +33% base64 tax is paid only where a string is actually required,
+    never on the table's own scans/shuffles."""
+    return attachments.withColumn(
+        "content_b64", F.base64("content")).drop("content")

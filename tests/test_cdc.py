@@ -117,6 +117,34 @@ class TestReplay:
         atts = eng.table("attachments").collect()
         assert len(atts) == 3  # from message 2 only
 
+    def test_attachment_binary_content_and_b64_view(self, spark, sink_dir):
+        """The sink's attachments table carries raw BinaryType content;
+        attachments_b64_view yields exactly Python's unchunked base64 of
+        those bytes (the oracle-facing string contract)."""
+        import base64
+
+        from emailcdc.udfs import attachments_b64_view
+
+        key = {"repo": "r1", "path": "a.eml", "lang": "eml"}
+        events = [{"offset": 0, "op": "I", "ts": None, **key,
+                   "commit": "c0", "content": make_eml(1)}]
+        eng = _engine(spark, sink_dir)
+        eng.replay(_events_df(spark, events), batch_size=1)
+        att_tbl = eng.table("attachments")
+        assert dict(att_tbl.dtypes)["content"] == "binary"
+        rows = att_tbl.collect()
+        assert rows and all(
+            isinstance(bytes(r["content"]), bytes)
+            and hashlib.sha256(bytes(r["content"])).hexdigest() == r["sha256"]
+            for r in rows)
+        view_df = attachments_b64_view(att_tbl)
+        assert "content" not in view_df.columns
+        view = {r["sha256"]: r["content_b64"] for r in view_df.collect()}
+        assert all(
+            view[r["sha256"]]
+            == base64.b64encode(bytes(r["content"])).decode("ascii")
+            for r in rows)
+
     def test_terminal_delete_removes_all_key_rows(self, spark, sink_dir):
         key = {"repo": "r1", "path": "a.eml", "lang": "eml"}
         events = [

@@ -247,6 +247,18 @@ class TestExtractEvent:
             "filename", "mime.type", "messageId", "folder",
         }
 
+    def test_attachment_content_is_raw_bytes(self):
+        """Attachment payloads are BinaryType raw bytes (the reference's
+        FlowFile-content model, AbstractJavaMailProcessor.java:266-288) —
+        sha256 over exactly those bytes."""
+        import hashlib
+
+        r = extract_event("r", "p", 1, "c", "eml", make_eml(9))
+        for a in r["attachments"]:
+            assert isinstance(a["content"], bytes)
+            assert a["size"] == len(a["content"])
+            assert a["sha256"] == hashlib.sha256(a["content"]).hexdigest()
+
     def test_delete_event_no_payload(self):
         r = extract_event("r", "p", 1, None, "eml", None)
         assert r == {"messages": [], "attachments": [],
