@@ -24,6 +24,14 @@ adapter maps the same commit contract onto native Iceberg:
 Each method raises ``RuntimeError`` with setup instructions when the
 Iceberg extensions are absent, so selecting this sink without the jar
 fails loudly and early.
+
+Verification status: EMULATION-VERIFIED ONLY.  The SQL this adapter
+emits is contract-tested against a mocked session
+(tests/test_iceberg_adapter.py) and a probe-gated smoke test
+(TestRealIcebergSmoke) runs the real upsert/skip contract whenever an
+``iceberg-spark-runtime`` jar is discoverable (ICEBERG_JAR env or the
+pyspark jars dir) — this sandbox has no such jar and no network to
+fetch one, so the smoke test self-skips with that reason here.
 """
 
 from __future__ import annotations

@@ -109,3 +109,68 @@ class TestIcebergSink:
                 pass
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             IcebergSink(NoIceberg(), "lake", "ns")
+
+
+class TestRealIcebergSmoke:
+    """Probe-gated smoke test against a REAL iceberg-spark-runtime
+    (VERDICT r4 task 8).  The sandbox has no network (Maven Central
+    unreachable) and ships no iceberg jar, so this skips here with the
+    probe's reason; on a cluster with the jar present it exercises the
+    adapter's upsert/skip contract end-to-end.  Set ICEBERG_JAR to a
+    local iceberg-spark-runtime jar to force the attempt."""
+
+    def _probe_jar(self):
+        import glob
+        import os
+        cand = os.environ.get("ICEBERG_JAR")
+        if cand and os.path.isfile(cand):
+            return cand
+        import pyspark
+        jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        hits = glob.glob(os.path.join(jar_dir, "iceberg-spark-runtime*.jar"))
+        return hits[0] if hits else None
+
+    def test_real_runtime_upsert_and_skip(self, tmp_path):
+        jar = self._probe_jar()
+        if jar is None:
+            pytest.skip("no iceberg-spark-runtime jar on this host and no "
+                        "network to fetch one — adapter is emulation-"
+                        "verified only (tests above mock the SQL surface)")
+        from pyspark.sql import SparkSession
+
+        from emailcdc.iceberg import IcebergSink
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("iceberg-smoke")
+            .config("spark.jars", jar)
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.lake",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.lake.type", "hadoop")
+            .config("spark.sql.catalog.lake.warehouse",
+                    str(tmp_path / "warehouse"))
+            .getOrCreate()
+        )
+        try:
+            spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.ns")
+            spark.sql("CREATE TABLE lake.ns.snapshot (repo string, "
+                      "path string, commit string) USING iceberg")
+            sink = IcebergSink(spark, "lake", "ns")
+            df1 = spark.createDataFrame(
+                [("r", "a", "c1"), ("r", "b", "c1")],
+                "repo string, path string, commit string")
+            sink.merge_upserts("snapshot", df1, batch_id=1)
+            assert spark.table("lake.ns.snapshot").count() == 2
+            # replayed batch: property present -> caller should skip
+            assert 1 in sink.committed_batch_ids("snapshot")
+            # upsert replaces, not appends
+            df2 = spark.createDataFrame(
+                [("r", "a", "c2")], "repo string, path string, commit string")
+            sink.merge_upserts("snapshot", df2, batch_id=2)
+            rows = {(r.repo, r.path): r.commit
+                    for r in spark.table("lake.ns.snapshot").collect()}
+            assert rows == {("r", "a"): "c2", ("r", "b"): "c1"}
+        finally:
+            spark.stop()
