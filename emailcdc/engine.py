@@ -311,7 +311,19 @@ class CdcEngine:
             # MERGE-target rows ride the envelope too (one per upsert,
             # sha256 computed in the extract worker), so no table write
             # happens at commit time on the non-compacting path at all.
+            from pyspark.sql.types import LongType, StructField, StructType
+
             from .sink import EnvelopedDir
+            from .udfs import ENVELOPE
+
+            def _env_schema(record_type: str) -> StructType:
+                # unwrapped table schema (struct fields + _seq) — known
+                # statically, so commit's schema checks need no file IO
+                struct = next(f.dataType for f in ENVELOPE.fields
+                              if f.name == record_type)
+                return StructType(list(struct.fields)
+                                  + [StructField("_seq", LongType(), False)])
+
             upsert_tables: dict = {}
             for record_type, table in (("snapshot", "snapshot"),
                                        ("message", "messages"),
@@ -320,7 +332,8 @@ class CdcEngine:
                 if type_counts.get(record_type, 0) > 0:
                     upsert_tables[table] = EnvelopedDir(
                         stage_dir, record_type,
-                        where=f"record_type = '{record_type}'")
+                        where=f"record_type = '{record_type}'",
+                        schema=_env_schema(record_type))
             self.sink.commit(
                 batch_id=batch_id,
                 offset_lo=offset_lo,
@@ -329,7 +342,8 @@ class CdcEngine:
                 delete_keys=None,
                 appends=({"failures": EnvelopedDir(
                               stage_dir, "failure",
-                              where="record_type = 'failure'")}
+                              where="record_type = 'failure'",
+                              schema=_env_schema("failure"))}
                          if type_counts.get("failure", 0) > 0 else {}),
                 append_rows={"lineage": (lineage_rows, schemas.LINEAGE)},
                 stats=stats,

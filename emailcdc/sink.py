@@ -76,6 +76,11 @@ class EnvelopedDir:
     dir: str
     field: str
     where: str | None = None
+    # optional schema hint for the UNWRAPPED rows (table columns + _seq):
+    # commit-time schema checks/merges then need NO file IO — without it
+    # every check triggers a mergeSchema footer read of the stage dir
+    # (~0.1-0.2 s each, 8 reads per commit measured)
+    schema: "StructType | None" = None
 
 
 @dataclass
@@ -233,7 +238,7 @@ class SnapshotParquetSink:
     # --- schema evolution ----------------------------------------------------
 
     @staticmethod
-    def _check_schema(prev_schema_json: str | None, new_df: DataFrame) -> None:
+    def _check_schema(prev_schema_json: str | None, new_schema) -> None:
         """Additive-only evolution: reject type changes for same-named
         columns (new columns are fine — parquet mergeSchema unions them;
         old rows read as null)."""
@@ -242,7 +247,7 @@ class SnapshotParquetSink:
         from pyspark.sql.types import StructType
         prev = StructType.fromJson(json.loads(prev_schema_json))
         prev_types = {f.name: f.dataType.simpleString() for f in prev.fields}
-        for f in new_df.schema.fields:
+        for f in new_schema.fields:
             old = prev_types.get(f.name)
             if old is not None and old != f.dataType.simpleString():
                 raise ValueError(
@@ -250,14 +255,14 @@ class SnapshotParquetSink:
                     f"{f.dataType.simpleString()}")
 
     @staticmethod
-    def _merged_schema_json(prev_schema_json: str | None, new_df: DataFrame) -> str:
+    def _merged_schema_json(prev_schema_json: str | None, new_schema) -> str:
         if not prev_schema_json:
-            return new_df.schema.json()
+            return new_schema.json()
         from pyspark.sql.types import StructType
         prev = StructType.fromJson(json.loads(prev_schema_json))
         names = {f.name for f in prev.fields}
         merged = StructType(list(prev.fields) +
-                            [f for f in new_df.schema.fields if f.name not in names])
+                            [f for f in new_schema.fields if f.name not in names])
         return merged.json()
 
     # --- commit --------------------------------------------------------------
@@ -340,6 +345,13 @@ class SnapshotParquetSink:
                                          "where": val.where}])
             return val.withColumn(SEQ, F.lit(batch_id).cast("long"))
 
+        def _stamped_schema(val):
+            """Schema of _stamped_frame(val) without file IO when the
+            EnvelopedDir carries its schema hint."""
+            if isinstance(val, EnvelopedDir) and val.schema is not None:
+                return val.schema
+            return _stamped_frame(val).schema
+
         def _write_keyed(table: str, val, out_dir: str) -> None:
             stamped = _stamped_frame(val)
             if compacting:
@@ -380,7 +392,7 @@ class SnapshotParquetSink:
                                        f"snap-{snapshot_id}")
                 if val is None:
                     continue
-                self._check_schema(prev_schema, _stamped_frame(val))
+                self._check_schema(prev_schema, _stamped_schema(val))
                 if isinstance(val, EnvelopedDir) and not compacting:
                     continue  # zero-copy registration below
                 futures[table] = pool.submit(_write_keyed, table, val, out_dir)
@@ -408,7 +420,7 @@ class SnapshotParquetSink:
                 else:
                     new_tables[table] = [] if compacting else prev_dirs
             new_schemas[table] = self._merged_schema_json(
-                prev_schema, _stamped_frame(val))
+                prev_schema, _stamped_schema(val))
 
         # ---- marks write (after table data, before manifest)
         if marks is not None:
@@ -446,7 +458,8 @@ class SnapshotParquetSink:
                     new_tables[table] = prev_dirs + [entry]
                     new_schemas[table] = self._merged_schema_json(
                         prev.schemas.get(table) if prev else None,
-                        self._read_dirs([entry]))
+                        rows.schema if rows.schema is not None
+                        else self._read_dirs([entry]).schema)
                 else:
                     new_tables[table] = prev_dirs
                     if prev and table in prev.schemas:
