@@ -31,6 +31,10 @@ import sys
 import tempfile
 import time
 
+# module-level so the warmup pandas-UDF's PEP-563 string annotations
+# ("pd.Series") resolve against bench's globals at decoration time
+import pandas as pd  # noqa: E402
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -117,6 +121,47 @@ def _replay_run(parallelism: int, events_path: str) -> float:
         spark.stop()
 
 
+def _streaming_run(parallelism: int, events_path: str,
+                   epoch_events: int = 150_000) -> float:
+    """Drain the SAME event log through the Structured Streaming path
+    (readStream → foreachBatch → apply_batch) with ``maxFilesPerTrigger``
+    sized for ~``epoch_events``-event epochs; returns events/sec for the
+    availableNow drain (VERDICT r4 task 7 — proves the streaming path
+    carries no hidden per-epoch overhead at real batch sizes)."""
+    import glob
+
+    from emailcdc.engine import CdcEngine
+    from emailcdc.sink import SnapshotParquetSink
+    from emailcdc.streaming import run_stream, stream_events
+    spark = _bench_session(f"local[{parallelism}]", parallelism)
+    sink_root = tempfile.mkdtemp(prefix=f"bench_ssink_{parallelism}_", dir=TMPDIR)
+    ckpt = tempfile.mkdtemp(prefix=f"bench_ckpt_{parallelism}_", dir=TMPDIR)
+    try:
+        n_files = len(glob.glob(os.path.join(events_path, "*.parquet")))
+        files_per_trigger = max(1, round(n_files * epoch_events / N_EVENTS))
+        # same untimed JVM/Python warmup rationale as _replay_run
+        warm_root = tempfile.mkdtemp(prefix=f"bench_swarm_{parallelism}_",
+                                     dir=TMPDIR)
+        from pyspark.sql import functions as F
+        warm = CdcEngine(spark, SnapshotParquetSink(spark, warm_root, n_buckets=8))
+        warm.replay(spark.read.parquet(events_path)
+                    .filter(F.col("offset") < 2000),
+                    batch_size=2000, max_batches=1)
+        shutil.rmtree(warm_root, ignore_errors=True)
+        engine = CdcEngine(spark, SnapshotParquetSink(spark, sink_root,
+                                                      n_buckets=64))
+        ev = stream_events(spark, events_path,
+                           max_files_per_trigger=files_per_trigger)
+        t0 = time.time()
+        q = run_stream(engine, ev, ckpt, available_now=True)
+        q.awaitTermination()
+        return N_EVENTS / (time.time() - t0)
+    finally:
+        shutil.rmtree(sink_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.stop()
+
+
 def _pinned_throughput(n_cpus: int, events_path: str) -> float:
     """Replay in a subprocess pinned to n_cpus cores — the JVM and all
     python workers inherit the affinity mask."""
@@ -137,6 +182,7 @@ def _pinned_throughput(n_cpus: int, events_path: str) -> float:
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    streaming = "--streaming" in sys.argv
     work = tempfile.mkdtemp(prefix="bench_events_")
     events_path = os.path.join(work, "events.parquet")
     _generate(events_path)
@@ -170,6 +216,19 @@ def main() -> None:
             print(json.dumps(result))
             return
 
+        if streaming:
+            sthr = _streaming_run(CPUS, events_path)
+            bthr = _replay_run(CPUS, events_path)
+            result.update({
+                "metric": "cdc_stream_drain_throughput_events_per_sec",
+                "value": round(sthr, 1),
+                "unit": "events/sec",
+                "batch_replay_value": round(bthr, 1),
+                "stream_vs_batch": round(sthr / bthr, 3),
+            })
+            print(json.dumps(result))
+            return
+
         thr = _replay_run(CPUS, events_path)
         spark = _bench_session(f"local[{CPUS}]", CPUS)
         try:
@@ -182,11 +241,10 @@ def main() -> None:
             # a constant a long-running service pays once at startup —
             # without it that constant lands on whichever UDF query runs
             # first (minhash in this list) and misreads as operator cost
-            import pandas as _pd
             from pyspark.sql import functions as F
 
             @F.pandas_udf("long")
-            def _warm(s: _pd.Series) -> _pd.Series:
+            def _warm(s: pd.Series) -> pd.Series:
                 return s
             spark.range(10_000, numPartitions=CPUS).select(
                 F.sum(_warm(F.col("id")))).collect()
