@@ -2028,6 +2028,107 @@ def _cdc_oracle_values() -> str:
 
 
 # --------------------------------------------------------------------------
+# corpus shaping: stratified sampling, per-source caps, token chunking
+# --------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 0.5, "zh": 0.3, "de": 0.25, "fr": 0.1}
+_STRAT_DEFAULT = 0.05
+
+
+def _stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language sampling to a target mix (ops/sampling.py:
+    stratified_sample) — seeded hash decides each row, so the sample is
+    identical on any cluster size and the oracle re-derives every draw."""
+    from emailcdc.ops.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = stratified_sample(docs, "lang", "doc_id", _STRAT_RATES,
+                             default_rate=_STRAT_DEFAULT)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("chars_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("lang"))
+
+
+def _stratified_oracle() -> str:
+    from emailcdc.ops.sampling import _HASH_SPACE
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * _HASH_SPACE)}"
+        for lang, rate in sorted(_STRAT_RATES.items()))
+    h = _DUCK_HASH60.format(s="'strat:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {h} < (CASE lang {cases} ELSE {int(_STRAT_DEFAULT * _HASH_SPACE)} END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _source_capped_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus cap (ops/sampling.py: cap_per_group) — keep the 20
+    longest docs per source under a total ordering.  The map-side pre-prune
+    keeps the skewed-domain shuffle bounded; id_sum pins the EXACT row set
+    against the oracle's plain ROW_NUMBER form."""
+    from emailcdc.ops.sampling import cap_per_group
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = cap_per_group(docs, "source", ["n_chars", "doc_id"], k=20,
+                         ascending=[False, True])
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("chars_kept"),
+                 F.sum("doc_id").cast("long").alias("id_sum"))
+            .orderBy("source"))
+
+
+_SOURCE_CAP_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 20
+GROUP BY source ORDER BY source
+"""
+
+
+def _chunked_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (textstats.chunk_tokens): window 32,
+    stride 16; each chunk emits integers only (idx, n_tokens, 60-bit hash)."""
+    from emailcdc.ops.textstats import chunk_tokens
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (docs.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    F.explode(chunk_tokens("text", 32, 16)).alias("ch"))
+            .select("doc_id",
+                    F.col("ch.chunk_idx").alias("chunk_idx"),
+                    F.col("ch.n_tokens").alias("n_tokens"),
+                    F.col("ch.chunk_hash").alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_CHUNKED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start FROM t
+)
+SELECT doc_id,
+       CAST(start // 16 AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       {_DUCK_HASH60.format(s="array_to_string(toks[start + 1 : start + 32], ' ')")} AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -2086,6 +2187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "multimodal_features": _multimodal_features,
         "multimodal_decode_stats": _multimodal_decode_stats,
+        "stratified_sample_documents": _stratified_sample_documents,
+        "source_capped_documents": _source_capped_documents,
+        "chunked_documents": _chunked_documents,
         # email payload + CDC engine
         "eml_message_stats": _eml_message_stats,
         "eml_header_map_stats": _eml_header_map_stats,
@@ -2152,6 +2256,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dup_oracle(),
         "multimodal_features": _multimodal_oracle_values(),
         "multimodal_decode_stats": _multimodal_decode_oracle_values(),
+        "stratified_sample_documents": _stratified_oracle(),
+        "source_capped_documents": _SOURCE_CAP_SQL,
+        "chunked_documents": _CHUNKED_SQL,
         # fixture/engine queries: VALUES oracles from the pure-Python path
         "eml_message_stats": _eml_oracle_values(),
         "eml_header_map_stats": _eml_header_oracle(),

@@ -1,0 +1,104 @@
+"""Corpus-shaping operators for training-data pipelines: deterministic
+stratified sampling and per-group document caps.
+
+Both are core moves when assembling a 100 TB pretraining mix: stratified
+sampling hits per-language/per-source token budgets, and per-group caps
+stop a single crawl domain from dominating the corpus.  Both are
+deterministic (seeded hashes / total ordering), so runs are reproducible
+and the DuckDB oracles re-derive every row.
+
+Scale notes
+-----------
+- ``stratified_sample`` is ONE narrow Catalyst predicate: a sha256-derived
+  uniform per row compared against the stratum's rate.  No shuffle, no
+  state, no RNG coordination across executors — the filter runs inside
+  whole-stage codegen on top of the parquet scan, and the same row is
+  kept or dropped identically on any cluster size.
+- ``cap_per_group`` is the scale-aware form of ``ROW_NUMBER() OVER
+  (PARTITION BY group) <= k``.  A plain window shuffles EVERY row by the
+  group key — at 100 TB, that's the full corpus riding one skewed
+  exchange (crawl domains are Zipfian).  Instead, a per-partition
+  pre-prune (mapInPandas, bounded dict of per-group heaps) keeps at most
+  k rows per (group, input-partition) with no shuffle; only survivors —
+  ≤ k × n_partitions per group, usually orders of magnitude below the
+  corpus — enter the window.  The pre-prune and the final window order by
+  the same total ordering, so the result is row-identical to the naive
+  window (the oracle proves it per run).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60 — hash60() yields a uniform integer in [0, 2^60); comparing against
+# rate * 2^60 keeps each row with probability `rate`, deterministically.
+_HASH_SPACE = 1 << 60
+
+
+def sample_uniform(id_col, salt: str = "strat") -> Column:
+    """Deterministic per-row uniform in [0, 1): 60-bit sha256 hash of
+    ``salt || ':' || id`` scaled by 2^60.  Same id + salt → same draw on
+    every engine, executor, and run (DuckDB re-derives it bit-for-bit via
+    the shared sha256 — see textstats.hash60)."""
+    from emailcdc.ops.textstats import hash60
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash60(F.concat(F.lit(salt + ":"), c.cast("string")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      rates: Mapping[str, float],
+                      default_rate: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``,
+    decided by a seeded hash of the row id (reproducible, coordination-
+    free).  Strata absent from ``rates`` use ``default_rate``.
+
+    The per-stratum thresholds are literals folded into one CASE
+    expression — nothing is broadcast, shuffled, or collected; the plan
+    is scan → filter at any corpus size."""
+    threshold = F.lit(int(default_rate * _HASH_SPACE))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(F.col(strata_col) == value,
+                           F.lit(int(rate * _HASH_SPACE))).otherwise(threshold)
+    return df.filter(sample_uniform(id_col, salt) < threshold)
+
+
+def cap_per_group(df: DataFrame, group_col: str, order_cols: Sequence[str],
+                  k: int, ascending: Sequence[bool] | None = None) -> DataFrame:
+    """At most ``k`` rows per ``group_col``, keeping the first ``k`` under
+    the total ordering ``order_cols`` (which must be deterministic — make
+    the last key a row id).  Row-identical to ``ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY ...) <= k`` but only per-partition
+    survivors (≤ k per group per partition) reach the shuffle."""
+    asc = list(ascending) if ascending is not None else [True] * len(order_cols)
+    if len(asc) != len(order_cols):
+        raise ValueError("ascending must match order_cols length")
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+    for c in (group_col, *order_cols):
+        if c not in names:
+            raise ValueError(f"column {c!r} not in frame")
+
+    def _prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded state: k rows per group seen IN THIS PARTITION
+        best: dict = {}
+        by = [group_col, *order_cols]
+        asc_full = [True, *asc]
+        for pdf in batches:
+            pool = pd.concat([*best.values(), pdf]) if best else pdf
+            pool = pool.sort_values(by, ascending=asc_full, kind="mergesort")
+            head = pool.groupby(group_col, sort=False).head(k)
+            best = {g: sub for g, sub in head.groupby(group_col, sort=False)}
+        if best:
+            yield pd.concat(list(best.values()))
+
+    survivors = df.mapInPandas(_prune, schema)
+    order = [F.col(c).asc() if a else F.col(c).desc()
+             for c, a in zip(order_cols, asc)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (survivors.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -260,3 +260,30 @@ def top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "term", "tf", "df")
     )
+
+
+def chunk_tokens(text_col, window: int = 32, stride: int = 16):
+    """Overlapping token-window chunks — the unit a pretraining pipeline
+    actually feeds the tokenizer.  Returns an array of
+    ``struct<chunk_idx:long, n_tokens:long, chunk_hash:long>``: one entry
+    per chunk start (0, stride, 2·stride, … while < n_tokens), each
+    hashing its ``window``-token slice (short at the tail) via the
+    sha256-derived 60-bit hash60 so DuckDB re-derives every value.
+
+    Pure Catalyst (split → sequence → transform/slice): chunking runs
+    inside whole-stage codegen over the scan, shuffles nothing, and emits
+    integers only — at 100 TB the chunk TEXT never leaves the executor
+    unless the caller asks for it."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_idx"),
+            F.size(F.slice(toks, s + 1, window)).cast("long").alias("n_tokens"),
+            hash60(F.concat_ws(" ", F.slice(toks, s + 1, window)))
+            .alias("chunk_hash"),
+        ),
+    )

@@ -610,3 +610,89 @@ class TestTopTerms:
         # doc 2: tf tie → unique (df=1) outranks cherry (df=2)
         assert got[(2, 1)] == ("unique", 1, 1)
         assert got[(2, 2)] == ("cherry", 1, 2)
+
+
+class TestSamplingAndChunking:
+    def _docs(self, spark):
+        rows = [(i, f"tok{i % 7} " * (5 + i % 40), ["en", "de", "fr"][i % 3],
+                 f"src{i % 4}", 10 + i % 50) for i in range(120)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+
+    def test_stratified_sample_deterministic_and_rate(self, spark):
+        from emailcdc.ops.sampling import stratified_sample
+        docs = self._docs(spark)
+        kept1 = stratified_sample(docs, "lang", "doc_id",
+                                  {"en": 1.0, "de": 0.5}, default_rate=0.0)
+        kept2 = stratified_sample(docs, "lang", "doc_id",
+                                  {"en": 1.0, "de": 0.5}, default_rate=0.0)
+        ids1 = sorted(r.doc_id for r in kept1.collect())
+        assert ids1 == sorted(r.doc_id for r in kept2.collect())  # seeded
+        by_lang = {r.lang: r.n for r in kept1.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by_lang["en"] == 40          # rate 1.0 keeps every row
+        assert "fr" not in by_lang          # default 0.0 drops the stratum
+        assert 10 <= by_lang.get("de", 0) <= 30  # ~50% of 40
+
+    def test_stratified_sample_salt_changes_draws(self, spark):
+        from emailcdc.ops.sampling import stratified_sample
+        docs = self._docs(spark)
+        a = {r.doc_id for r in stratified_sample(
+            docs, "lang", "doc_id", {}, default_rate=0.5, salt="a").collect()}
+        b = {r.doc_id for r in stratified_sample(
+            docs, "lang", "doc_id", {}, default_rate=0.5, salt="b").collect()}
+        assert a != b
+
+    def test_cap_per_group_matches_naive_window(self, spark):
+        from pyspark.sql import Window
+
+        from emailcdc.ops.sampling import cap_per_group
+        # force several input partitions so the map-side pre-prune runs
+        docs = self._docs(spark).repartition(7)
+        got = cap_per_group(docs, "source", ["n_chars", "doc_id"], k=5,
+                            ascending=[False, True])
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                                 F.asc("doc_id"))
+        want = (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 5).drop("rn"))
+        assert (sorted(r.doc_id for r in got.collect())
+                == sorted(r.doc_id for r in want.collect()))
+        per_src = got.groupBy("source").count().collect()
+        assert all(r["count"] <= 5 for r in per_src)
+
+    def test_cap_per_group_validates_args(self, spark):
+        from emailcdc.ops.sampling import cap_per_group
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            cap_per_group(docs, "nope", ["doc_id"], k=1)
+        with pytest.raises(ValueError):
+            cap_per_group(docs, "source", ["doc_id"], k=1, ascending=[True, True])
+
+    def test_chunk_tokens_windows_and_tail(self, spark):
+        from emailcdc.ops.textstats import chunk_tokens
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10))), (2, "only")],
+            "doc_id long, text string")
+        rows = (df.select("doc_id", F.explode(chunk_tokens("text", 8, 4))
+                          .alias("ch"))
+                .select("doc_id", "ch.*").orderBy("doc_id", "chunk_idx")
+                .collect())
+        # doc 1: 10 tokens, window 8, stride 4 -> starts 0,4,8
+        d1 = [(r.chunk_idx, r.n_tokens) for r in rows if r.doc_id == 1]
+        assert d1 == [(0, 8), (1, 6), (2, 2)]
+        d2 = [(r.chunk_idx, r.n_tokens) for r in rows if r.doc_id == 2]
+        assert d2 == [(0, 1)]
+        assert all(r.chunk_hash is not None and r.chunk_hash >= 0
+                   for r in rows)
+
+    def test_chunk_hash_matches_hash60_of_join(self, spark):
+        import hashlib
+
+        from emailcdc.ops.textstats import chunk_tokens
+        df = spark.createDataFrame([(1, "a b c d e")],
+                                   "doc_id long, text string")
+        row = (df.select(F.explode(chunk_tokens("text", 3, 2)).alias("ch"))
+               .select("ch.*").orderBy("chunk_idx").collect())
+        want0 = int(hashlib.sha256(b"a b c").hexdigest()[:15], 16)
+        assert row[0].chunk_hash == want0
