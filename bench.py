@@ -200,10 +200,56 @@ def _host_fault_rate_gbps() -> float:
     return round(0.25 / max(time.time() - t0, 1e-9), 3)
 
 
+_THP_ENABLED = "/sys/kernel/mm/transparent_hugepage/enabled"
+
+
+def _stabilize_host_memory(fault_gbps: float) -> dict:
+    """Counter two virtualization pathologies that otherwise swamp the
+    measurement (both observed on this sandbox after a VM restore; both
+    settings are no-ops on a healthy host):
+
+    1. THP faults through a lazy-memory hypervisor can run ~500x slower
+       than 4K faults (measured here: 0.003 vs 1.5 GB/s first-touch).
+       numpy madvises huge pages on large buffers by default, so every
+       Arrow/pandas batch stalls.  If the probe shows a pathological rate
+       and THP is not already off, switch it off and re-probe.
+    2. The hypervisor reclaims pages the guest frees (free-page
+       reporting) and serves each RE-fault through the same slow path, so
+       any allocator that returns memory to the OS per batch (Arrow
+       jemalloc decay, glibc trim/munmap, an unpinned G1 heap) re-pays
+       the fault cost every cycle.  Pin allocators to keep freed memory
+       in-process: Arrow -> system pool, glibc -> no trim/no mmap for
+       large chunks, JVM -> -Xms=-Xmx.  Exported via env BEFORE the JVM
+       spawns so Python workers inherit.
+
+    Returns a dict of what was applied, merged into the bench JSON."""
+    applied: dict = {}
+    if fault_gbps < 0.05:
+        try:
+            with open(_THP_ENABLED) as fh:
+                mode = fh.read()
+            if "[never]" not in mode:
+                with open(_THP_ENABLED, "w") as fh:
+                    fh.write("never")
+                applied["thp_disabled"] = True
+                applied["host_first_touch_gbps_after_thp_off"] = \
+                    _host_fault_rate_gbps()
+        except OSError:
+            applied["thp_disabled"] = "unwritable"
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    heap = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    os.environ.setdefault("EMAILCDC_DRIVER_JAVA_OPTS", f"-Xms{heap}")
+    applied["allocators_pinned"] = True
+    return applied
+
+
 def main() -> None:
     scaling = "--scaling" in sys.argv
     streaming = "--streaming" in sys.argv
     fault_gbps = _host_fault_rate_gbps()
+    stabilized = _stabilize_host_memory(fault_gbps)
     work = tempfile.mkdtemp(prefix="bench_events_")
     events_path = os.path.join(work, "events.parquet")
     _generate(events_path)
@@ -211,7 +257,8 @@ def main() -> None:
     result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1],
                     "n_events": N_EVENTS, "n_keys": N_KEYS,
                     "langs": ",".join(LANGS),
-                    "host_first_touch_gbps": fault_gbps}
+                    "host_first_touch_gbps": fault_gbps,
+                    **stabilized}
     try:
         if scaling:
             # Interleave levels ACROSS rounds (2,8,…,2,8,… not 2,2,2,8,8,8):

@@ -37,6 +37,15 @@ def get_spark(app: str = "emailcdc", master: str | None = None,
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Extra driver JVM flags (e.g. -Xms to pin the heap).  A G1 heap that
+    # grows and shrinks re-commits pages every cycle; on a virtualized
+    # host that reclaims uncommitted guest pages (free-page reporting),
+    # every re-commit faults through the hypervisor's slow path and the
+    # JVM's VM Thread ends up spinning in heap-resize operations.  Pinning
+    # -Xms=-Xmx makes the heap fault once and stay resident.
+    java_opts = os.environ.get("EMAILCDC_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return builder.getOrCreate()
 
 
