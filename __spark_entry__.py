@@ -66,6 +66,19 @@ def entry(spark: SparkSession) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism when an unsplittable input (e.g. a single-
+    row-group parquet file — the shape of the driver's small tables)
+    collapses to fewer partitions than the cluster has slots: the per-row-
+    expensive work downstream (regex, Arrow UDFs, higher-order lambdas)
+    otherwise runs on ONE core while 31 idle (guide §2.5 input skew;
+    measured 4.0 s → 0.44 s for quality_documents at 50k docs).  No-op at
+    real scale, where the scan already yields ≥ defaultParallelism splits
+    — so no extra exchange appears on a 100 TB input."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _dsum_cents(col):
     """Exact money sum as integer cents (bigint): quantize each value to
     decimal(18,6) (exact integer arithmetic from there), round half-up to
@@ -1103,7 +1116,7 @@ def _embedding_explode_stats(spark: SparkSession, sf: str) -> DataFrame:
     floor-micros bigints: float→double is exact, ×1e6 is one identical
     IEEE op on both engines, floor is truncation toward -inf on both —
     nothing engine-specific on the hash surface."""
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     return (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
         .filter(F.col("pos") < 8)
@@ -1151,7 +1164,7 @@ def _bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-ish token counts + English stopword ratio (textstats ops the
     token_stats query doesn't cover)."""
     from emailcdc.ops.textstats import bpe_ish_token_count, stopword_ratio
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select(
         "doc_id",
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
@@ -1175,6 +1188,8 @@ FROM t ORDER BY doc_id
 
 def _dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import exact_dup_groups
+    # no _spread: sha2+groupBy is cheap enough that the extra round-robin
+    # exchange costs more than the single-task scan (measured 0.35→0.80 s)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     groups = exact_dup_groups(docs, ["text"], "doc_id")
     return (
@@ -1202,7 +1217,7 @@ def _decontaminate_documents(spark: SparkSession, sf: str) -> DataFrame:
     dropping exact matches and >0-shingle-overlap docs vs a 'benchmark'
     slice of the corpus (doc_id < 10)."""
     from emailcdc.ops.dedup import decontaminate_exact, decontaminate_ngram
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     bench = docs.filter(F.col("doc_id") < 10).select("text")
     after_exact = decontaminate_exact(docs, bench)
     after_ngram = decontaminate_ngram(docs, bench, "doc_id", shingle_n=8)
@@ -1243,7 +1258,7 @@ def _normalized_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     the canonical-form dedup key most pipelines use."""
     from emailcdc.ops.dedup import exact_dup_groups
     from emailcdc.ops.textstats import normalize_text
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     normed = docs.select("doc_id", normalize_text("text").alias("text"))
     return exact_dup_groups(normed, ["text"], "doc_id").agg(
         F.count(F.lit(1)).alias("n_unique"),
@@ -1262,7 +1277,7 @@ SELECT count(*) AS n_unique, CAST(sum(c) AS BIGINT) AS n_rows FROM (
 
 def _token_stats_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import token_count
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -1281,7 +1296,7 @@ FROM documents ORDER BY doc_id
 
 def _quality_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import quality_score, punct_ratio
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select(
         "doc_id",
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
@@ -1315,7 +1330,7 @@ def _filtered_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Pre-training hygiene filter (length window + punctuation cap +
     language allowlist) — one pushdown-friendly Catalyst predicate."""
     from emailcdc.ops.textstats import filter_documents, token_count
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     kept = filter_documents(docs, min_tokens=30, max_tokens=200,
                             max_punct_ratio=0.05, langs=["en"])
     return kept.agg(
@@ -1353,7 +1368,7 @@ WHERE n_tok >= 30 AND n_tok <= 200 AND praw <= 0.05
 
 def _langid_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import langid
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return (
         docs.select(langid("text").alias("lang_pred"))
         .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
@@ -1383,7 +1398,7 @@ GROUP BY lang_pred ORDER BY lang_pred
 
 def _fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.textstats import fingerprint
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return docs.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy("doc_id")
 
 
@@ -1398,7 +1413,7 @@ FROM s ORDER BY doc_id
 
 def _minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import minhash_dedup
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return (
         minhash_dedup(docs, "text", "doc_id", threshold=0.4,
                       n_hashes=128, bands=64)
@@ -1435,7 +1450,7 @@ def _top_terms_per_doc(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc top-3 salient terms (TF-IDF-shaped, integer-only ordering
     — ops/textstats.top_terms)."""
     from emailcdc.ops.textstats import top_terms
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return top_terms(docs, "text", "doc_id", k=3).orderBy("doc_id", "rnk")
 
 
@@ -1468,7 +1483,7 @@ def _near_dup_components(spark: SparkSession, sf: str) -> DataFrame:
     the sf0.01 correctness gate, minutes at sf0.1+ — the Spark side stays
     banded/iterative at every scale."""
     from emailcdc.ops.dedup import connected_components, minhash_dedup
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     pairs = minhash_dedup(docs, "text", "doc_id", threshold=0.4,
                           n_hashes=128, bands=64)
     return (
@@ -1505,7 +1520,7 @@ def _simhash_documents(spark: SparkSession, sf: str) -> DataFrame:
     array<long> output crashes the driver's pandas canonicalizer —
     CORRECTNESS_r01 simhash err)."""
     from emailcdc.ops.dedup import simhash_chunks
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     ch = simhash_chunks("text")
     return docs.select(
         "doc_id",
@@ -1540,7 +1555,7 @@ SELECT doc_id, {chunk_cols} FROM m ORDER BY doc_id
 
 def _ngram_jaccard_sample(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import ngram_jaccard
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     ids = docs.select(F.col("doc_id").alias("id_a")).filter("id_a < 20")
     pairs = ids.crossJoin(
         docs.select(F.col("doc_id").alias("id_b")).filter("id_b >= 20 AND id_b < 40")
@@ -1567,6 +1582,8 @@ ORDER BY id_a, id_b
 
 
 def _embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    # no _spread: the per-row HOF fold over 64 floats is cheaper than an
+    # extra exchange of the vectors (measured 0.51→1.05 s with it)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     vecd = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vecd, F.lit(0.0), lambda acc, v: acc + v * v))
@@ -1585,7 +1602,7 @@ FROM embeddings ORDER BY vec_id
 
 def _ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.similarity import cosine_topk
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return (
@@ -1614,7 +1631,7 @@ SELECT query_id, vec_id, round(cosine, 3) AS cosine_r, rank FROM (
 
 def _ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.similarity import ivf_topk
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return (
@@ -1664,7 +1681,7 @@ ORDER BY query_id, rank
 
 def _embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from emailcdc.ops.dedup import embedding_near_dup
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     return (
         embedding_near_dup(emb, "embedding", "vec_id", threshold=0.3,
                            dim=64, n_tables=6, n_bits=8)
@@ -2072,7 +2089,7 @@ def _source_capped_documents(spark: SparkSession, sf: str) -> DataFrame:
     keeps the skewed-domain shuffle bounded; id_sum pins the EXACT row set
     against the oracle's plain ROW_NUMBER form."""
     from emailcdc.ops.sampling import cap_per_group
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     kept = cap_per_group(docs, "source", ["n_chars", "doc_id"], k=20,
                          ascending=[False, True])
     return (kept.groupBy("source")
@@ -2101,7 +2118,7 @@ def _chunked_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping token-window chunking (textstats.chunk_tokens): window 32,
     stride 16; each chunk emits integers only (idx, n_tokens, 60-bit hash)."""
     from emailcdc.ops.textstats import chunk_tokens
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf}/documents.parquet"))
     return (docs.filter(F.length(F.trim("text")) > 0)
             .select("doc_id",
                     F.explode(chunk_tokens("text", 32, 16)).alias("ch"))

