@@ -244,7 +244,11 @@ def _topk_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        # project to the 3 needed columns BEFORE the window: the exchange
+        # and per-partition sort otherwise carry every order column
+        # (guide §2.3 — shuffle fewer bytes); result is unchanged
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey",
                 F.round("o_totalprice", 2).alias("totalprice"), "rnk")
@@ -309,15 +313,22 @@ def _lww_last_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
     """The CDC LWW-dedup operator expressed over the driver's events table:
     last event per user by (ts, event_id) — same window the engine uses."""
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # max_by over struct(ts, event_id) picks exactly the row the previous
+    # row_number()-over-(ts DESC, event_id DESC) window picked, but as an
+    # ordinary aggregation: partial map-side aggregation collapses each
+    # user's events before the exchange, so the shuffle carries one row
+    # per (user, map partition) instead of every event, and no full
+    # per-partition sort runs (guide §2.3 "aggregate before you shuffle").
+    # per-row integer cents, one identical IEEE op on both engines —
+    # round(double, 2) rounds half-cases differently per engine
+    # (VERDICT r3 #4 latent class)
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        # per-row integer cents, one identical IEEE op on both engines —
-        # round(double, 2) rounds half-cases differently per engine
-        # (VERDICT r3 #4 latent class)
-        .select("user_id", "event_id", "event_type",
-                F.expr("floor(value * 100.0D + 0.5D)").alias("value_cents"))
+        ev.groupBy("user_id")
+        .agg(F.max_by(
+            F.struct("event_id", "event_type",
+                     F.expr("floor(value * 100.0D + 0.5D)").alias("value_cents")),
+            F.struct("ts", "event_id")).alias("_w"))
+        .select("user_id", "_w.event_id", "_w.event_type", "_w.value_cents")
         .orderBy("user_id")
     )
 
