@@ -297,8 +297,16 @@ def distributed_events_df(spark, n_events: int, n_keys: int,
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schemas.CHANGE_EVENTS.fields])
 
+    # 4× the cluster slots by default: the replay consumer batches by
+    # offset RANGE, and each generator partition is one contiguous range
+    # → one output file → one (unsplittable) row group, so a replay batch
+    # covering 1/k of the log sees only 1/k of the files.  At the bench's
+    # 2-batch split, cores×1 files meant HALF the cores sat idle through
+    # the parse stage; cores×4 files give every batch ≥ 2 waves of evenly
+    # sized splits (guide §6 — input split sizing), and the parse stage's
+    # per-lang cost skew averages out across more, smaller tasks.
     rng = spark.range(0, n_events, numPartitions=partitions or
-                      spark.sparkContext.defaultParallelism)
+                      4 * spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=schemas.CHANGE_EVENTS)
 
 
