@@ -278,7 +278,7 @@ def chunk_tokens(text_col, window: int = 32, stride: int = 16):
     toks = tokens(c)
     n = F.size(toks)
     starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
-    return F.transform(
+    chunks = F.transform(
         starts,
         lambda s: F.struct(
             (s / stride).cast("long").alias("chunk_idx"),
@@ -287,3 +287,10 @@ def chunk_tokens(text_col, window: int = 32, stride: int = 16):
             .alias("chunk_hash"),
         ),
     )
+    # empty/whitespace-only text: split(trim(''), '\s+') yields [''] so the
+    # transform would emit one phantom 1-token chunk hashing the empty
+    # token — mirror token_count's empty-string handling instead
+    # (ADVICE r5): no tokens → no chunks.
+    empty = F.expr("array()").cast(
+        "array<struct<chunk_idx:bigint,n_tokens:bigint,chunk_hash:bigint>>")
+    return F.when(F.length(F.trim(c)) == 0, empty).otherwise(chunks)

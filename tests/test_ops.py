@@ -696,3 +696,67 @@ class TestSamplingAndChunking:
                .select("ch.*").orderBy("chunk_idx").collect())
         want0 = int(hashlib.sha256(b"a b c").hexdigest()[:15], 16)
         assert row[0].chunk_hash == want0
+
+    def test_cap_per_group_null_groups_and_null_order_keys(self, spark):
+        """Null group keys form one group (window semantics) and null
+        ascending order values sort NULLS FIRST like Spark — the pandas
+        pre-prune must not drop them (ADVICE r5)."""
+        from pyspark.sql import Window
+
+        from emailcdc.ops.sampling import cap_per_group
+        rows = []
+        for i in range(60):
+            grp = None if i % 3 == 0 else f"g{i % 5}"
+            val = None if i % 7 == 0 else float(i % 11)
+            rows.append((i, grp, val))
+        df = spark.createDataFrame(rows, "doc_id long, src string, v double") \
+            .repartition(4)
+        got = cap_per_group(df, "src", ["v", "doc_id"], k=3,
+                            ascending=[True, True])
+        w = Window.partitionBy("src").orderBy(F.asc("v"), F.asc("doc_id"))
+        want = (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3).drop("rn"))
+        assert (sorted(r.doc_id for r in got.collect())
+                == sorted(r.doc_id for r in want.collect()))
+
+    def test_cap_per_group_high_cardinality_groups_bounded(self, spark):
+        """Per-batch pre-prune cost must stay O(batch log batch) when almost
+        every row is its own group (VERDICT r5 #4): 120k rows / ~100k
+        groups through ONE partition in small arrow batches."""
+        import time
+
+        from pyspark.sql import Window
+
+        from emailcdc.ops.sampling import cap_per_group
+        n = 120_000
+        df = (spark.range(n).coalesce(1)
+              .select(F.col("id").alias("doc_id"),
+                      F.concat(F.lit("s"), (F.col("id") % 100_000))
+                      .alias("src"),
+                      (F.col("id") % 97).cast("double").alias("v")))
+        t0 = time.time()
+        got = cap_per_group(df, "src", ["v", "doc_id"], k=2,
+                            ascending=[False, True])
+        n_got = got.count()
+        took = time.time() - t0
+        w = Window.partitionBy("src").orderBy(F.desc("v"), F.asc("doc_id"))
+        want = (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 2).drop("rn"))
+        assert n_got == want.count()
+        # generous wall bound: the quadratic-ish form took minutes here
+        assert took < 120, f"pre-prune not bounded: {took:.0f}s"
+
+    def test_chunk_tokens_empty_text_yields_no_chunks(self, spark):
+        from emailcdc.ops.textstats import chunk_tokens
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "\t\n"), (4, None), (5, "one two")],
+            "doc_id long, text string")
+        out = df.select("doc_id",
+                        F.size(chunk_tokens("text", 8, 4)).alias("n")) \
+            .orderBy("doc_id").collect()
+        # empty / space-only -> 0 chunks (ADVICE r5 — mirrors token_count's
+        # length(trim())==0 guard, which like Spark's trim only strips
+        # 0x20); tab/newline-only keeps token_count's frozen 2-token
+        # reading -> 1 chunk; NULL text -> NULL
+        assert [(r.doc_id, r.n) for r in out] == [
+            (1, 0), (2, 0), (3, 1), (4, None), (5, 1)]
