@@ -28,7 +28,6 @@ _HDR_RE = re.compile(r"^([\x21-\x39\x3b-\x7e]+):[ \t]?(.*)$")
 # stripping every allowed char leaves nothing — one C-level scan instead
 # of a regex match object per header line
 _FIELD_CHARS = "".join(chr(c) for c in range(0x21, 0x7F) if c != 0x3A)
-_BARE_CR_RE = re.compile(r"\r(?!\n)")
 _CHARSET_RE = re.compile(r'charset="?([A-Za-z0-9_.:+-]+)"?', re.IGNORECASE)
 _BOUNDARY_RE = re.compile(r'boundary="?([^";]+)"?', re.IGNORECASE)
 
@@ -253,7 +252,10 @@ def parse(raw: str) -> FastPart:
     """Parse a full message; raises FastMimeBail outside the fast path."""
     if "\x00" in raw:
         raise FastMimeBail("NUL in input")
-    if _BARE_CR_RE.search(raw):
+    # every '\r' must begin a '\r\n' pair — two C-level counts instead of
+    # a lookahead-regex scan (each '\r\n' consumes exactly one '\r', so
+    # the counts differ iff a bare CR exists)
+    if raw.count("\r") != raw.count("\r\n"):
         # the stdlib (like JavaMail, AbstractJavaMailProcessor.java:134-190)
         # treats a bare CR as a line terminator; this scanner only splits on
         # LF, so any lone '\r' would be swallowed into a header value or body
