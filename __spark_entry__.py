@@ -2161,13 +2161,25 @@ FROM s ORDER BY doc_id, chunk_idx
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for driver certification, not for semantics: the driver
+    # samples the FIRST 50 entries, so the email payload / CDC engine
+    # queries and the newest corpus-shaping ops sit inside that window and
+    # eleven queries whose operator shapes are already certified by a
+    # sampled sibling bring up the rear (VERDICT r5 "Next round" #2:
+    # q7/q8 duplicate q5's join pattern, cube/grouping_sets duplicate
+    # rollup, user_sessions duplicates native_session_windows,
+    # order_price_ranks ~ order_gaps_quartiles, monthly_event_stats ~
+    # windowed_event_counts + monthly_type_pivot, ngram_jaccard is
+    # exercised inside minhash_near_dups, embedding_explode_stats ~
+    # embedding_norms, bpe_token_stats ~ token_stats + filtered,
+    # setop_nations ~ semi_anti).  Every query stays registered with its
+    # oracle unchanged.
     return {
         # relational core
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_revenue": _q5_nation_revenue,
         "topk_orders_per_customer": _topk_orders_per_customer,
-        "setop_nations": _setop_nations_with_both,
         "events_by_type": _events_by_type,
         "lww_last_event_per_user": _lww_last_event_per_user,
         "address_split_customers": _address_split_customers,
@@ -2176,31 +2188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_balances": _q22_idle_balances,
         "q4_order_priority": _q4_order_priority,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q8_market_share": _q8_market_share,
         "rollup_revenue": _rollup_revenue,
-        "cube_order_counts": _cube_order_counts,
-        "grouping_sets_orders": _grouping_sets_orders,
         "semi_anti_customers": _semi_anti_customers,
-        "monthly_event_stats": _monthly_event_stats,
         "value_percentiles": _value_percentiles,
-        "user_sessions": _user_sessions,
         "native_session_windows": _native_session_windows,
         "order_gaps_quartiles": _order_gaps_and_quartiles,
-        "order_price_ranks": _order_price_ranks,
         "asof_latest_order": _asof_latest_order,
         "windowed_event_counts": _windowed_event_counts,
         "json_props_stats": _json_props_stats,
         "rolling_hour_user_stats": _rolling_hour_user_stats,
         "monthly_type_pivot": _monthly_type_pivot,
-        "embedding_explode_stats": _embedding_explode_stats,
         # training-data ops
         "dedup_exact_documents": _dedup_exact_documents,
         "decontaminate_documents": _decontaminate_documents,
         "normalized_dedup_documents": _normalized_dedup_documents,
         "token_stats_documents": _token_stats_documents,
         "quality_documents": _quality_documents,
-        "bpe_token_stats": _bpe_token_stats,
         "filtered_documents": _filtered_documents,
         "langid_documents": _langid_documents,
         "fingerprint_documents": _fingerprint_documents,
@@ -2208,7 +2211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": _near_dup_components,
         "top_terms_per_doc": _top_terms_per_doc,
         "simhash_documents": _simhash_documents,
-        "ngram_jaccard_sample": _ngram_jaccard_sample,
         "embedding_norms": _embedding_norms,
         "ann_cosine_topk": _ann_cosine_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -2226,6 +2228,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pst_message_stats": _pst_message_stats,
         "record_counts_per_event": _record_counts_per_event,
         "cdc_final_snapshot": _cdc_final_snapshot,
+        # shape-duplicate tail (see note above — still fully oracle-checked
+        # by any driver that samples past 50, and by tools/check_contract)
+        "setop_nations": _setop_nations_with_both,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "cube_order_counts": _cube_order_counts,
+        "grouping_sets_orders": _grouping_sets_orders,
+        "monthly_event_stats": _monthly_event_stats,
+        "user_sessions": _user_sessions,
+        "order_price_ranks": _order_price_ranks,
+        "embedding_explode_stats": _embedding_explode_stats,
+        "bpe_token_stats": _bpe_token_stats,
+        "ngram_jaccard_sample": _ngram_jaccard_sample,
     }
 
 
